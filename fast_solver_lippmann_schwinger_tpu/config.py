@@ -1,0 +1,62 @@
+"""Typed configuration for the TPU-native Lippmann-Schwinger framework.
+
+The reference exposes configuration only as constants edited inside driver
+scripts and scattered keyword arguments (``quadRule`` at
+``src/FastConvolution.jl:171``, ``solvertype`` at ``src/subdomains.jl:22``,
+``precondtype``/``nIt``/``tol``/``maxIter`` at ``src/preconditioner.jl:70-112``).
+Here those knobs become real dataclasses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+import jax.numpy as jnp
+
+
+class QuadRule(str, enum.Enum):
+    """Quadrature rule for the singular Green's-function kernel.
+
+    Mirrors the two regimes of the reference (``quadRule`` keyword,
+    ``src/FastConvolution.jl:170-236``).
+    """
+
+    TRAPEZOIDAL = "trapezoidal"       # Duan-Rokhlin corrected trapezoidal rule
+    GREENGARD_VICO = "greengard_vico"  # Fourier-truncated kernel
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Outer Krylov solver configuration (replaces IterativeSolvers.gmres!)."""
+
+    rtol: float = 1e-8           # relative tolerance on preconditioned residual
+    restart: int = 20            # GMRES restart length
+    maxiter: int = 200           # max total iterations
+    dtype: jnp.dtype = jnp.complex64
+
+
+@dataclasses.dataclass(frozen=True)
+class DDMConfig:
+    """Domain-decomposition (polarized traces) configuration.
+
+    Mirrors ``nSubdomains``/``npml`` from ``tests/plasma_example.jl:41,102``
+    and the sweep knobs of ``src/preconditioner.jl``.
+    """
+
+    n_subdomains: int = 8
+    npml: int = 10               # absorbing-extension layers (``ndelta``)
+    shift_factor: float = 2.0    # complex-shift scale: shift = shift_factor * k
+                                 # (``src/subdomains.jl:53``)
+    n_inner_iters: int = 1       # ``nIt`` for the trace-space preconditioner
+    inner_tol: float = 1e-2      # inner GMRES tolerance (polarized traces)
+    inner_maxiter: int = 40
+
+
+def default_complex_dtype() -> jnp.dtype:
+    """complex128 when x64 is enabled (CPU parity tests), else complex64 (TPU)."""
+    return jnp.complex128 if jnp.zeros(0, jnp.float64).dtype == jnp.float64 else jnp.complex64
+
+
+def real_dtype_of(cdtype) -> jnp.dtype:
+    return jnp.float64 if jnp.dtype(cdtype) == jnp.complex128 else jnp.float32

@@ -1,0 +1,221 @@
+"""Fast O(N log N) application of the Lippmann-Schwinger operator.
+
+``M u = u + omega^2 * (G conv (nu .* u))`` applied via zero-padding, FFT,
+spectral multiply, inverse FFT, crop — the TPU-native counterpart of the
+reference's ``FastM``/``FastM3D`` structs and their ``fastconvolution`` /
+``FFTconvolution`` applies (``src/FastConvolution.jl:11-154``,
+``src/FastConvolution3D.jl:7-63``).
+
+Design notes (TPU-first):
+
+* The spectral symbol is stored in standard (unshifted) FFT order for both
+  quadrature rules — the reference's ``fftshift``/``ifftshift`` pair around
+  the Greengard-Vico multiply (``src/FastConvolution.jl:94-98``) is folded
+  into the symbol at build time, saving two full passes over the extended
+  grid per apply.
+* The trapezoidal kernel is embedded in wrap-around (circulant) order so the
+  output lands at slice ``[0:m, 0:n]`` for both rules and the extended size
+  can be rounded up to an FFT-friendly composite (the reference's exact
+  ``2n-1`` is frequently prime).
+* Operators are pytrees; ``apply`` jits and batches (the trailing FFTs are
+  the only O(N log N) work; everything else fuses into elementwise ops).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from fast_solver_lippmann_schwinger_tpu.config import QuadRule
+from fast_solver_lippmann_schwinger_tpu.ops import greens
+
+
+@struct.dataclass
+class LippmannSchwinger2D:
+    """Pytree encapsulating ``M = I + omega^2 G diag(nu)`` on a 2D grid.
+
+    Fields mirror the reference ``FastM`` struct (``src/FastConvolution.jl:11-27``)
+    with the symbol pre-folded as described in the module docstring.
+    """
+
+    symbol: jnp.ndarray        # (me, ne) complex — spectral multiplier
+    nu: jnp.ndarray            # (m, n) real — medium perturbation
+    omega: float = struct.field(pytree_node=False)
+    n: int = struct.field(pytree_node=False)
+    m: int = struct.field(pytree_node=False)
+    quad_rule: str = struct.field(pytree_node=False)
+
+    @property
+    def shape(self):
+        return (self.m, self.n)
+
+    @property
+    def size(self):
+        return self.m * self.n
+
+    def convolve(self, b: jnp.ndarray) -> jnp.ndarray:
+        """Pure discrete convolution ``G conv b`` (no identity, no nu).
+
+        Counterpart of ``FFTconvolution`` (``src/FastConvolution.jl:110-154``);
+        used for RHS construction and for sampling Green's columns by unit
+        impulses (``sampleGConv``, ``src/FastConvolution.jl:278-306``).
+        """
+        b2 = b.reshape(self.m, self.n)
+        me, ne = self.symbol.shape
+        ext = jnp.zeros((me, ne), dtype=self.symbol.dtype)
+        ext = ext.at[: self.m, : self.n].set(b2.astype(self.symbol.dtype))
+        out = jnp.fft.ifft2(self.symbol * jnp.fft.fft2(ext))
+        out = out[: self.m, : self.n]
+        return out.reshape(b.shape)
+
+    def apply(self, u: jnp.ndarray) -> jnp.ndarray:
+        """``M u = u + omega^2 (G conv (nu u))`` — the GMRES hot loop.
+
+        Counterpart of ``fastconvolution`` (``src/FastConvolution.jl:58-107``).
+        """
+        scaled = (self.nu.reshape(u.shape) * u).astype(self.symbol.dtype)
+        return u + (self.omega ** 2) * self.convolve(scaled)
+
+    def __call__(self, u: jnp.ndarray) -> jnp.ndarray:
+        return self.apply(u)
+
+
+@struct.dataclass
+class LippmannSchwinger3D:
+    """3D analog (reference ``FastM3D``, ``src/FastConvolution3D.jl:7-63``)."""
+
+    symbol: jnp.ndarray        # (le, me, ne) complex
+    nu: jnp.ndarray            # (l, m, n) real
+    omega: float = struct.field(pytree_node=False)
+    n: int = struct.field(pytree_node=False)
+    m: int = struct.field(pytree_node=False)
+    l: int = struct.field(pytree_node=False)
+    quad_rule: str = struct.field(pytree_node=False)
+
+    @property
+    def shape(self):
+        return (self.l, self.m, self.n)
+
+    @property
+    def size(self):
+        return self.l * self.m * self.n
+
+    def convolve(self, b: jnp.ndarray) -> jnp.ndarray:
+        b3 = b.reshape(self.l, self.m, self.n)
+        le, me, ne = self.symbol.shape
+        ext = jnp.zeros((le, me, ne), dtype=self.symbol.dtype)
+        ext = ext.at[: self.l, : self.m, : self.n].set(b3.astype(self.symbol.dtype))
+        out = jnp.fft.ifftn(self.symbol * jnp.fft.fftn(ext))
+        out = out[: self.l, : self.m, : self.n]
+        return out.reshape(b.shape)
+
+    def apply(self, u: jnp.ndarray) -> jnp.ndarray:
+        scaled = (self.nu.reshape(u.shape) * u).astype(self.symbol.dtype)
+        return u + (self.omega ** 2) * self.convolve(scaled)
+
+    def __call__(self, u: jnp.ndarray) -> jnp.ndarray:
+        return self.apply(u)
+
+
+def build_fast_convolution_2d(
+    x: np.ndarray,
+    y: np.ndarray,
+    h: float,
+    k: float,
+    nu,
+    quad_rule: QuadRule | str = QuadRule.TRAPEZOIDAL,
+    dtype=jnp.complex64,
+    pad_to_friendly: bool = True,
+) -> LippmannSchwinger2D:
+    """Build the 2D fast operator (reference ``buildFastConvolution``,
+    ``src/FastConvolution.jl:170-236``).
+
+    ``nu`` is either a callable ``nu(X, Y)`` over coordinate meshes or an
+    ``(m, n)`` array.
+    """
+    quad_rule = QuadRule(quad_rule)
+    n, m = len(x), len(y)
+    X, Y = np.meshgrid(np.asarray(x), np.asarray(y), indexing="xy")
+    nu_arr = nu(X, Y) if callable(nu) else np.asarray(nu).reshape(m, n)
+
+    if quad_rule == QuadRule.TRAPEZOIDAL:
+        sym, ne, me = greens.trapezoidal_kernel_2d(
+            n, m, h, k,
+            ne=None if pad_to_friendly else 2 * n - 1,
+            me=None if pad_to_friendly else 2 * m - 1,
+        )
+    else:
+        sym, ne, me = greens.gv_symbol_2d(
+            n, m, h, k,
+            ne=greens.good_fft_size(4 * n) if pad_to_friendly else 4 * n,
+            me=greens.good_fft_size(4 * m) if pad_to_friendly else 4 * m,
+        )
+
+    real_dtype = jnp.float64 if dtype == jnp.complex128 else jnp.float32
+    return LippmannSchwinger2D(
+        symbol=jnp.asarray(sym, dtype=dtype),
+        nu=jnp.asarray(nu_arr, dtype=real_dtype),
+        omega=float(k),
+        n=n,
+        m=m,
+        quad_rule=quad_rule.value,
+    )
+
+
+def build_fast_convolution_3d(
+    x: np.ndarray,
+    y: np.ndarray,
+    z: np.ndarray,
+    h: float,
+    k: float,
+    nu,
+    quad_rule: QuadRule | str = QuadRule.GREENGARD_VICO,
+    dtype=jnp.complex64,
+    pad_to_friendly: bool = True,
+) -> LippmannSchwinger3D:
+    """3D fast operator (reference ``buildFastConvolution3D``,
+    ``src/FastConvolution3D.jl:68-132``; Greengard-Vico only, as in the
+    reference's working path)."""
+    quad_rule = QuadRule(quad_rule)
+    if quad_rule != QuadRule.GREENGARD_VICO:
+        raise NotImplementedError("3D supports the Greengard-Vico rule")
+    n, m, l = len(x), len(y), len(z)
+    Z, Y, X = np.meshgrid(np.asarray(z), np.asarray(y), np.asarray(x), indexing="ij")
+    nu_arr = nu(X, Y, Z) if callable(nu) else np.asarray(nu).reshape(l, m, n)
+
+    sym, ne, me, le = greens.gv_symbol_3d(
+        n, m, l, h, k,
+        ne=greens.good_fft_size(4 * n) if pad_to_friendly else 4 * n,
+        me=greens.good_fft_size(4 * m) if pad_to_friendly else 4 * m,
+        le=greens.good_fft_size(4 * l) if pad_to_friendly else 4 * l,
+    )
+    real_dtype = jnp.float64 if dtype == jnp.complex128 else jnp.float32
+    return LippmannSchwinger3D(
+        symbol=jnp.asarray(sym, dtype=dtype),
+        nu=jnp.asarray(nu_arr, dtype=real_dtype),
+        omega=float(k),
+        n=n,
+        m=m,
+        l=l,
+        quad_rule=quad_rule.value,
+    )
+
+
+def sample_g_columns(op, indices: np.ndarray) -> jnp.ndarray:
+    """Green's-matrix rows via unit-impulse convolutions, batched.
+
+    ``G`` is symmetric, so row j == column j == ``G conv e_j``.  Counterpart
+    of ``sampleGConv`` / ``sampleG3D`` (``src/FastConvolution.jl:278-306``,
+    ``src/FastConvolution3D.jl:136-160``), with the impulses batched through
+    a single vmapped FFT convolution.
+
+    Returns (len(indices), op.size).
+    """
+    indices = jnp.asarray(np.asarray(indices, dtype=np.int64))
+    eye_rows = jnp.zeros((indices.shape[0], op.size), dtype=op.symbol.dtype)
+    eye_rows = eye_rows.at[jnp.arange(indices.shape[0]), indices].set(1.0)
+    return jax.vmap(lambda e: op.convolve(e))(eye_rows)

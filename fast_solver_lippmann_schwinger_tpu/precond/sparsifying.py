@@ -1,0 +1,59 @@
+"""The sparsifying preconditioner: ``u <- Msp^{-1} (As b)``.
+
+Counterpart of the reference's ``SparsifyingPreconditioner`` struct and its
+``\\`` / ``ldiv!`` overloads (``src/preconditioner.jl:27-58,132-170``).  The
+UMFPACK / MKL-PARDISO factorization held in that struct becomes a device
+block-Thomas factorization; ``As * b`` becomes a stencil matvec.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
+    BlockTridiagFactorization,
+    BlockTridiagFactorization3D,
+    block_thomas_solve,
+    block_thomas_solve_3d,
+    factor_stencil_2d,
+    factor_stencil_3d,
+)
+from fast_solver_lippmann_schwinger_tpu.sparse.stencil_matrix import (
+    StencilMatrix2D,
+    StencilMatrix3D,
+)
+
+
+@struct.dataclass
+class SparsifyingPreconditioner:
+    """Left preconditioner ``b -> Msp^{-1} (As b)`` for the LS system."""
+
+    factorization: BlockTridiagFactorization
+    a_s: StencilMatrix2D
+
+    @classmethod
+    def build(cls, msp: StencilMatrix2D, a_s: StencilMatrix2D):
+        return cls(factorization=factor_stencil_2d(msp), a_s=a_s)
+
+    def apply(self, b: jnp.ndarray) -> jnp.ndarray:
+        return block_thomas_solve(self.factorization, self.a_s.matvec(b))
+
+    def __call__(self, b: jnp.ndarray) -> jnp.ndarray:
+        return self.apply(b)
+
+
+@struct.dataclass
+class SparsifyingPreconditioner3D:
+    factorization: BlockTridiagFactorization3D
+    a_s: StencilMatrix3D
+
+    @classmethod
+    def build(cls, msp: StencilMatrix3D, a_s: StencilMatrix3D):
+        return cls(factorization=factor_stencil_3d(msp), a_s=a_s)
+
+    def apply(self, b: jnp.ndarray) -> jnp.ndarray:
+        return block_thomas_solve_3d(self.factorization, self.a_s.matvec(b))
+
+    def __call__(self, b: jnp.ndarray) -> jnp.ndarray:
+        return self.apply(b)

@@ -1,0 +1,176 @@
+"""Device-resident restarted GMRES with left preconditioning.
+
+Replaces the reference's dependency on ``IterativeSolvers.gmres!`` (driven at
+``examples/example.jl:85``, ``tests/plasma_example.jl:164``): the whole outer
+Krylov loop — Arnoldi with modified Gram-Schmidt, Givens rotations, restarts,
+residual logging — compiles to a single XLA program via ``lax.while_loop``,
+so no host round-trips happen between iterations.
+
+The convergence criterion matches the reference's default: relative tolerance
+on the norm of the left-preconditioned residual.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class GMRESInfo(NamedTuple):
+    residuals: jnp.ndarray   # (maxiter + 1,) preconditioned residual norms,
+                             # residuals[0] is the initial norm; trailing
+                             # entries are zero (count nonzeros for iters,
+                             # like the drivers' ``countnz(resnorm)``)
+    n_iterations: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def _identity(x):
+    return x
+
+
+def gmres(
+    matvec: Callable[[jnp.ndarray], jnp.ndarray],
+    b: jnp.ndarray,
+    preconditioner: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    x0: Optional[jnp.ndarray] = None,
+    rtol: float = 1e-8,
+    atol: float = 0.0,
+    restart: int = 20,
+    maxiter: int = 200,
+):
+    """Solve ``A x = b`` with restarted, left-preconditioned GMRES.
+
+    ``matvec`` and ``preconditioner`` are traceable callables on vectors of
+    ``b``'s shape.  Returns ``(x, GMRESInfo)``.
+    """
+    M = preconditioner if preconditioner is not None else _identity
+    n = b.shape[0]
+    restart = min(restart, n)
+    maxiter = min(maxiter, 10 * n)
+    dtype = b.dtype
+    rdtype = jnp.real(b).dtype
+
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    mb_norm = jnp.linalg.norm(M(b))
+    tol = jnp.maximum(rtol * mb_norm, atol).astype(rdtype)
+
+    n_cycles = -(-maxiter // restart)
+
+    def arnoldi_step(carry, _):
+        """One inner GMRES iteration over fixed-size (restart+1, n) basis."""
+        V, R, g, cs, sn, j, resnorm, active = carry
+
+        def do_step(args):
+            V, R, g, cs, sn, j, resnorm = args
+            w = M(matvec(V[j]))
+            # Modified Gram-Schmidt against all stored basis vectors; rows
+            # past j are zero so the extra dots are exact no-ops.
+            def mgs(i, wh):
+                w, h = wh
+                hi = jnp.vdot(V[i], w)
+                return (w - hi * V[i], h.at[i].set(hi))
+
+            h0 = jnp.zeros((restart + 1,), dtype=dtype)
+            w, h = lax.fori_loop(0, restart + 1, mgs, (w, h0))
+            hj1 = jnp.linalg.norm(w)
+            h = h.at[j + 1].set(hj1.astype(dtype))
+            V = V.at[j + 1].set(jnp.where(hj1 > 0, w / hj1.astype(dtype), w))
+
+            # apply accumulated Givens rotations to the new column
+            def rot(i, h):
+                t = cs[i] * h[i] + sn[i] * h[i + 1]
+                h = h.at[i + 1].set(-jnp.conj(sn[i]) * h[i] + cs[i] * h[i + 1])
+                return h.at[i].set(t)
+
+            h = lax.fori_loop(0, j, rot, h)
+
+            # new rotation zeroing h[j+1]
+            a, bb = h[j], h[j + 1]
+            denom = jnp.sqrt(jnp.abs(a) ** 2 + jnp.abs(bb) ** 2)
+            safe = denom > 0
+            c_new = jnp.where(safe, jnp.abs(a) / jnp.maximum(denom, 1e-300), 1.0)
+            phase = jnp.where(
+                jnp.abs(a) > 0, a / jnp.maximum(jnp.abs(a), 1e-300), 1.0
+            ).astype(dtype)
+            s_new = jnp.where(
+                safe, phase * jnp.conj(bb) / jnp.maximum(denom, 1e-300), 0.0
+            ).astype(dtype)
+
+            h = h.at[j].set(c_new * a + s_new * bb)
+            h = h.at[j + 1].set(0.0)
+            cs2 = cs.at[j].set(c_new.astype(dtype))
+            sn2 = sn.at[j].set(s_new)
+            g2 = g.at[j + 1].set(-jnp.conj(s_new) * g[j])
+            g2 = g2.at[j].set(c_new * g[j])
+            R2 = R.at[:, j].set(h)
+            return V, R2, g2, cs2, sn2, j + 1, jnp.abs(g2[j + 1]).astype(rdtype)
+
+        V, R, g, cs, sn, j, resnorm = lax.cond(
+            active,
+            do_step,
+            lambda args: args,
+            (V, R, g, cs, sn, j, resnorm),
+        )
+        new_active = active & (resnorm > tol)
+        rec = jnp.where(active, resnorm, jnp.zeros((), rdtype))
+        return (V, R, g, cs, sn, j, resnorm, new_active), rec
+
+    def cycle(carry, _):
+        x, total_res, cycle_idx, done = carry
+
+        def run(args):
+            x, total_res = args
+            r = M(b - matvec(x))
+            beta = jnp.linalg.norm(r)
+            V = jnp.zeros((restart + 1, n), dtype=dtype)
+            V = V.at[0].set(jnp.where(beta > 0, r / beta.astype(dtype), r))
+            R = jnp.zeros((restart + 1, restart + 1), dtype=dtype)
+            g = jnp.zeros((restart + 1,), dtype=dtype)
+            g = g.at[0].set(beta.astype(dtype))
+            cs = jnp.zeros((restart,), dtype=dtype)
+            sn = jnp.zeros((restart,), dtype=dtype)
+
+            init = (V, R, g, cs, sn, 0, beta.astype(rdtype), beta > tol)
+            (V, R, g, cs, sn, j, resnorm, _), recs = lax.scan(
+                arnoldi_step, init, None, length=restart
+            )
+
+            # solve the (masked) triangular system R y = g
+            filled = jnp.arange(restart) < j
+            Rsq = R[:restart, :restart]
+            Rsq = jnp.where(
+                jnp.eye(restart, dtype=bool) & ~filled[None, :],
+                jnp.ones((), dtype),
+                jnp.where(filled[None, :], Rsq, 0.0),
+            )
+            gv = jnp.where(filled, g[:restart], 0.0)
+            y = jax.scipy.linalg.solve_triangular(Rsq, gv, lower=False)
+            x2 = x + V[:restart].T @ y
+            return x2, recs, resnorm
+
+        def skip(args):
+            x, total_res = args
+            return x, jnp.zeros((restart,), rdtype), jnp.zeros((), rdtype)
+
+        x, recs, resnorm = lax.cond(~done, run, skip, (x, total_res))
+        total_res = lax.dynamic_update_slice(
+            total_res, recs, (1 + cycle_idx * restart,)
+        )
+        done = done | (resnorm <= tol)
+        return (x, total_res, cycle_idx + 1, done), None
+
+    residuals0 = jnp.zeros((1 + n_cycles * restart,), rdtype)
+    r0 = M(b - matvec(x0))
+    beta0 = jnp.linalg.norm(r0).astype(rdtype)
+    residuals0 = residuals0.at[0].set(beta0)
+
+    (x, residuals, _, done), _ = lax.scan(
+        cycle, (x0, residuals0, 0, beta0 <= tol), None, length=n_cycles
+    )
+    n_iters = jnp.sum(residuals[1:] > 0)
+    return x, GMRESInfo(residuals=residuals, n_iterations=n_iters, converged=done)

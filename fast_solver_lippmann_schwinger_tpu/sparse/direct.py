@@ -1,0 +1,260 @@
+"""TPU-native sparse direct solver for stencil matrices.
+
+Replaces the reference's native factorization backends — UMFPACK ``lu`` at
+``src/preconditioner.jl:35`` / ``src/subdomains.jl:114`` and MKL PARDISO at
+``src/preconditioner.jl:38-55`` / ``src/subdomains.jl:117-136`` — with a
+structure-exploiting block-Thomas factorization: under lexicographic order a
+3x3-stencil matrix on an (m, n) grid is block tridiagonal with tridiagonal
+n x n blocks.  The factorization is a ``lax.scan`` over grid lines whose per
+step work is one dense n x n inversion (MXU-bound); solves are scans of
+n x n matvecs plus banded updates.  Everything batches over leading axes
+with ``vmap`` (used to factor all DDM slabs at once).
+
+The reference's two backends collapse into this single device-native solver;
+the ``solvertype`` knob is kept at the API surface for parity but maps here.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from fast_solver_lippmann_schwinger_tpu.sparse.stencil_matrix import (
+    StencilMatrix2D,
+    StencilMatrix3D,
+)
+
+
+@struct.dataclass
+class BlockTridiagFactorization:
+    """Per-line inverted pivot blocks + off-diagonal bands.
+
+    ``cinv[j]`` is the inverse of the j-th Schur-complement pivot block;
+    ``lband``/``uband`` are the tridiagonal couplings to lines j-1 / j+1,
+    stored as (m, n, 3) bands.
+    """
+
+    cinv: jnp.ndarray    # (m, n, n)
+    lband: jnp.ndarray   # (m, n, 3)
+    uband: jnp.ndarray   # (m, n, 3)
+
+
+def band_matvec(band: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Tridiagonal band times vector/matrix: out[i] = sum_d band[i,d] v[i+d-1].
+
+    ``band`` (n, 3); ``v`` (n, ...) — extra trailing dims are RHS columns.
+    """
+    pad = [(1, 1)] + [(0, 0)] * (v.ndim - 1)
+    vp = jnp.pad(v, pad)
+    n = v.shape[0]
+    out = jnp.zeros_like(v)
+    for d in range(3):
+        out = out + band[:, d].reshape((n,) + (1,) * (v.ndim - 1)) * vp[d : d + n]
+    return out
+
+
+def _band_mul_right(mat: jnp.ndarray, band: jnp.ndarray) -> jnp.ndarray:
+    """(M @ U) for tridiagonal U given by ``band``: result[:, c] =
+    sum_d M[:, c-d+1] band[c-d+1, d]."""
+    n = mat.shape[1]
+    out = jnp.zeros_like(mat)
+    for d in range(3):
+        scaled = mat * band[None, :, d]
+        # shift columns right by (d - 1)
+        shifted = jnp.roll(scaled, d - 1, axis=1)
+        if d == 0:
+            shifted = shifted.at[:, -1].set(0.0)
+        elif d == 2:
+            shifted = shifted.at[:, 0].set(0.0)
+        out = out + shifted
+    return out
+
+
+def _band_to_dense(band: jnp.ndarray) -> jnp.ndarray:
+    n = band.shape[0]
+    i = jnp.arange(n)
+    out = jnp.zeros((n, n), dtype=band.dtype)
+    out = out.at[i, i].set(band[:, 1])
+    out = out.at[i[1:], i[1:] - 1].set(band[1:, 0])
+    out = out.at[i[:-1], i[:-1] + 1].set(band[:-1, 2])
+    return out
+
+
+def factor_stencil_2d(s: StencilMatrix2D) -> BlockTridiagFactorization:
+    """Block-Thomas factorization of a 2D stencil matrix.
+
+    Schur recursion ``C_j = D_j - L_j C_{j-1}^{-1} U_{j-1}`` over grid lines,
+    storing explicit pivot inverses so that the solve is matmul-only.
+    """
+    vals = s.values
+    dband = vals[:, :, 1, :]   # (m, n, 3) in-line couplings
+    lband = vals[:, :, 0, :]
+    uband = vals[:, :, 2, :]
+    m, n = vals.shape[0], vals.shape[1]
+
+    # thread uband with a one-line delay (U_{j-1} enters step j)
+    uband_shift = jnp.concatenate(
+        [jnp.zeros_like(uband[:1]), uband[:-1]], axis=0
+    )
+
+    def step_full(carry, inp):
+        cinv_prev = carry
+        dband_j, lband_j, uband_prev = inp
+        lcinv = band_matvec(lband_j, cinv_prev)
+        c = _band_to_dense(dband_j) - _band_mul_right(lcinv, uband_prev)
+        cinv = jnp.linalg.inv(c)
+        return cinv, cinv
+
+    cinv0 = jnp.zeros((n, n), dtype=vals.dtype)
+    _, cinv = jax.lax.scan(step_full, cinv0, (dband, lband, uband_shift))
+    return BlockTridiagFactorization(cinv=cinv, lband=lband, uband=uband)
+
+
+def block_thomas_solve(fac: BlockTridiagFactorization, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve ``S x = b`` given the factorization.
+
+    ``b`` may be flat (m*n,), gridded (m, n), or multi-RHS (m, n, r) /
+    (m*n, r); the result matches the input shape.
+    """
+    m, n = fac.cinv.shape[0], fac.cinv.shape[1]
+    orig_shape = b.shape
+    if b.ndim == 1:
+        bg = b.reshape(m, n)
+    elif b.ndim == 2 and b.shape == (m, n):
+        bg = b
+    elif b.ndim == 2:           # (m*n, r)
+        bg = b.reshape(m, n, b.shape[1])
+    else:
+        bg = b
+
+    multi = bg.ndim == 3
+
+    def fwd(carry, inp):
+        t_prev = carry          # C_{j-1}^{-1} y_{j-1}
+        b_j, lband_j, cinv_j = inp
+        y_j = b_j - band_matvec(lband_j, t_prev)
+        t_j = cinv_j @ y_j if multi else cinv_j @ y_j
+        return t_j, y_j
+
+    t0 = jnp.zeros(bg.shape[1:], dtype=fac.cinv.dtype)
+    _, y = jax.lax.scan(fwd, t0, (bg.astype(fac.cinv.dtype), fac.lband, fac.cinv))
+
+    def bwd(carry, inp):
+        x_next = carry
+        y_j, uband_j, cinv_j = inp
+        x_j = cinv_j @ (y_j - band_matvec(uband_j, x_next))
+        return x_j, x_j
+
+    x0 = jnp.zeros(bg.shape[1:], dtype=fac.cinv.dtype)
+    _, x_rev = jax.lax.scan(
+        bwd, x0, (y[::-1], fac.uband[::-1], fac.cinv[::-1])
+    )
+    x = x_rev[::-1]
+    return x.reshape(orig_shape)
+
+
+# Batched variants (leading slab axis) — used by the DDM layer to factor and
+# solve all subdomains concurrently (the reference factorizes slabs in a
+# sequential Julia loop, ``tests/plasma_example.jl:123-128``).
+factor_stencil_2d_batched = jax.vmap(
+    lambda v: factor_stencil_2d(StencilMatrix2D(values=v))
+)
+block_thomas_solve_batched = jax.vmap(block_thomas_solve)
+
+
+# -----------------------------------------------------------------------------
+# 3D: planes as blocks
+# -----------------------------------------------------------------------------
+
+@struct.dataclass
+class BlockTridiagFactorization3D:
+    """z-plane block factorization of a 3D stencil matrix.
+
+    Pivot blocks are dense (m n) x (m n); inter-plane couplings stay in
+    9-point stencil form ((l, m, n, 3, 3) fields).
+    """
+
+    cinv: jnp.ndarray      # (l, m*n, m*n)
+    lsten: jnp.ndarray     # (l, m, n, 3, 3) couplings to plane k-1
+    usten: jnp.ndarray     # (l, m, n, 3, 3) couplings to plane k+1
+
+
+def _plane_stencil_matvec(sten: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Apply a (m, n, 3, 3) in-plane stencil to (m, n, ...) data."""
+    m, n = sten.shape[0], sten.shape[1]
+    pad = [(1, 1), (1, 1)] + [(0, 0)] * (v.ndim - 2)
+    vp = jnp.pad(v, pad)
+    out = jnp.zeros_like(v)
+    for dj in range(3):
+        for di in range(3):
+            w = sten[:, :, dj, di].reshape((m, n) + (1,) * (v.ndim - 2))
+            out = out + w * vp[dj : dj + m, di : di + n]
+    return out
+
+
+def _plane_stencil_to_dense(sten: jnp.ndarray) -> jnp.ndarray:
+    """Dense (mn, mn) matrix of a 9-point in-plane stencil."""
+    m, n = sten.shape[0], sten.shape[1]
+    eye = jnp.eye(m * n, dtype=sten.dtype).reshape(m * n, m, n)
+    cols = jax.vmap(lambda e: _plane_stencil_matvec(sten, e))(eye)
+    # cols[c] = S e_c  -> dense[r, c] = cols[c].flat[r]
+    return cols.reshape(m * n, m * n).T
+
+
+def factor_stencil_3d(s: StencilMatrix3D) -> BlockTridiagFactorization3D:
+    vals = s.values                       # (l, m, n, 3, 3, 3)
+    l, m, n = vals.shape[:3]
+    mn = m * n
+    dsten = vals[:, :, :, 1]              # (l, m, n, 3, 3)
+    lsten = vals[:, :, :, 0]
+    usten = vals[:, :, :, 2]
+
+    usten_shift = jnp.concatenate([jnp.zeros_like(usten[:1]), usten[:-1]], axis=0)
+
+    def step(cinv_prev, inp):
+        dsten_k, lsten_k, usten_prev = inp
+        # L_k C^{-1}: apply the L stencil to each column of C^{-1}
+        lcinv = jax.vmap(
+            lambda col: _plane_stencil_matvec(lsten_k, col.reshape(m, n)).ravel(),
+            in_axes=1,
+            out_axes=1,
+        )(cinv_prev)
+        # (L C^{-1}) U: apply U^T stencil to the rows — compute via dense U
+        u_dense = _plane_stencil_to_dense(usten_prev)
+        c = _plane_stencil_to_dense(dsten_k) - lcinv @ u_dense
+        cinv = jnp.linalg.inv(c)
+        return cinv, cinv
+
+    cinv0 = jnp.zeros((mn, mn), dtype=vals.dtype)
+    _, cinv = jax.lax.scan(step, cinv0, (dsten, lsten, usten_shift))
+    return BlockTridiagFactorization3D(cinv=cinv, lsten=lsten, usten=usten)
+
+
+def block_thomas_solve_3d(
+    fac: BlockTridiagFactorization3D, b: jnp.ndarray
+) -> jnp.ndarray:
+    l = fac.cinv.shape[0]
+    m, n = fac.lsten.shape[1], fac.lsten.shape[2]
+    mn = m * n
+    orig_shape = b.shape
+    bg = b.reshape(l, mn)
+
+    def fwd(t_prev, inp):
+        b_k, lsten_k, cinv_k = inp
+        y_k = b_k - _plane_stencil_matvec(lsten_k, t_prev.reshape(m, n)).ravel()
+        return cinv_k @ y_k, y_k
+
+    t0 = jnp.zeros((mn,), dtype=fac.cinv.dtype)
+    _, y = jax.lax.scan(fwd, t0, (bg.astype(fac.cinv.dtype), fac.lsten, fac.cinv))
+
+    def bwd(x_next, inp):
+        y_k, usten_k, cinv_k = inp
+        x_k = cinv_k @ (
+            y_k - _plane_stencil_matvec(usten_k, x_next.reshape(m, n)).ravel()
+        )
+        return x_k, x_k
+
+    x0 = jnp.zeros((mn,), dtype=fac.cinv.dtype)
+    _, x_rev = jax.lax.scan(bwd, x0, (y[::-1], fac.usten[::-1], fac.cinv[::-1]))
+    return x_rev[::-1].reshape(orig_shape)

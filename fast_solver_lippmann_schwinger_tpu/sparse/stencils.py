@@ -1,0 +1,212 @@
+"""Sparsifying annihilator stencils (Ying 2014) for the LS preconditioner.
+
+For each boundary class (interior / edges / corners in 2D: 9 classes; plus
+faces in 3D: 27 classes) the reference samples rows of the dense quadrature
+matrix ``G`` on a local stencil, takes the last left singular vector of the
+far-field block as the annihilating row ``a`` (so that ``a G ~ 0`` away from
+the stencil), and assembles sparse ``A`` and ``A G``
+(``entriesSparseA``/``entriesSparseG``/``buildSparseA(G)``,
+``src/SparsifyingMatrix2D.jl`` whole file; 3D analog in
+``src/SparsifyingMatrix3D.jl``).
+
+TPU-native re-design: classes are enumerated generically as products of
+per-axis categories (lo/mid/hi), each class's stencil row is computed once
+from Green's rows obtained either analytically (host, Duan-Rokhlin) or via
+batched unit-impulse FFT convolutions on device (``sampleGConv`` semantics),
+and the result is scattered into a dense stencil field
+(``StencilMatrix2D/3D``) by per-class masks — no COO/CSC assembly.
+
+The annihilator row's overall phase/scale is arbitrary (an SVD gauge); it is
+consistent between ``A`` and ``A G`` rows, which is all the preconditioner
+``Msp^{-1} (A b)`` depends on.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Callable, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from fast_solver_lippmann_schwinger_tpu.ops import greens
+from fast_solver_lippmann_schwinger_tpu.sparse.stencil_matrix import (
+    StencilMatrix2D,
+    StencilMatrix3D,
+)
+
+# per-axis categories: (name, allowed offsets, representative index fn,
+# node indicator fn)
+_LO, _MID, _HI = 0, 1, 2
+
+
+def _axis_offsets(cat: int):
+    return {(_LO): (0, 1), (_MID): (-1, 0, 1), (_HI): (-1, 0)}[cat]
+
+
+def _axis_rep(cat: int, size: int) -> int:
+    return {(_LO): 0, (_MID): (size - 1) // 2, (_HI): size - 1}[cat]
+
+
+def _axis_mask(cat: int, size: int) -> np.ndarray:
+    idx = np.arange(size)
+    if cat == _LO:
+        return idx == 0
+    if cat == _HI:
+        return idx == size - 1
+    return (idx > 0) & (idx < size - 1)
+
+
+def build_annihilator_classes(
+    sampler: Callable[[np.ndarray], np.ndarray],
+    shape: Sequence[int],
+):
+    """Compute per-class annihilator rows and local Green's blocks.
+
+    ``sampler(flat_indices) -> (len(indices), N)`` returns rows of the dense
+    quadrature matrix G.  ``shape`` is the grid shape, slowest axis first
+    (e.g. ``(m, n)`` in 2D).
+
+    Returns a list of dicts with keys ``cats``, ``offsets`` (tuples, per grid
+    axis, slowest first), ``a_row`` (s,), ``ag_row`` (s,).
+    """
+    shape = tuple(shape)
+    ndim = len(shape)
+    N = int(np.prod(shape))
+    strides = np.array(
+        [int(np.prod(shape[d + 1 :])) for d in range(ndim)], dtype=np.int64
+    )
+
+    classes = []
+    for cats in itertools.product((_LO, _MID, _HI), repeat=ndim):
+        offsets = list(
+            itertools.product(*[_axis_offsets(c) for c in cats])
+        )  # ordered tuples, slowest axis first
+        rep = np.array([_axis_rep(c, s) for c, s in zip(cats, shape)], dtype=np.int64)
+        flat = np.array(
+            [int(np.dot(rep + np.array(off), strides)) for off in offsets],
+            dtype=np.int64,
+        )
+        g_rows = np.asarray(sampler(flat))  # (s, N) complex
+        far = np.ones(N, dtype=bool)
+        far[flat] = False
+        w = g_rows[:, far]
+        # last left singular vector = best annihilator of the far field
+        u, _, _ = np.linalg.svd(w, full_matrices=False)
+        a_row = np.conj(u[:, -1])
+        ag_row = a_row @ g_rows[:, flat]
+        classes.append(
+            dict(cats=cats, offsets=offsets, a_row=a_row, ag_row=ag_row)
+        )
+    return classes
+
+
+def _assemble_fields(classes, shape, stencil_extent=3):
+    """Scatter per-class rows into dense stencil fields (numpy, setup time)."""
+    ndim = len(shape)
+    a_field = np.zeros(tuple(shape) + (stencil_extent,) * ndim, dtype=np.complex128)
+    ag_field = np.zeros_like(a_field)
+    for cls in classes:
+        mask = np.ones(shape, dtype=bool)
+        for d, cat in enumerate(cls["cats"]):
+            shp = [1] * ndim
+            shp[d] = shape[d]
+            mask = mask & _axis_mask(cat, shape[d]).reshape(shp)
+        a_st = np.zeros((stencil_extent,) * ndim, dtype=np.complex128)
+        ag_st = np.zeros_like(a_st)
+        for off, av, agv in zip(cls["offsets"], cls["a_row"], cls["ag_row"]):
+            pos = tuple(o + 1 for o in off)
+            a_st[pos] = av
+            ag_st[pos] = agv
+        sel = (...,) + (None,) * ndim
+        a_field = np.where(mask[sel], a_st, a_field)
+        ag_field = np.where(mask[sel], ag_st, ag_field)
+    return a_field, ag_field
+
+
+# -----------------------------------------------------------------------------
+# 2D builders
+# -----------------------------------------------------------------------------
+
+def _sampler_2d_trapezoidal(k, X, Y, d0, h):
+    return lambda idx: greens.sample_g_rows_2d(k, X.ravel(), Y.ravel(), idx, d0, h)
+
+
+def _sampler_conv(op):
+    from fast_solver_lippmann_schwinger_tpu.ops.fastconv import sample_g_columns
+
+    return lambda idx: np.asarray(sample_g_columns(op, idx), dtype=np.complex128)
+
+
+def build_sparse_a_ag_2d(
+    k: float,
+    x: np.ndarray,
+    y: np.ndarray,
+    h: float,
+    d0: complex | None = None,
+    conv_op=None,
+    dtype=jnp.complex64,
+):
+    """Build the annihilator ``A`` and product ``A G`` as stencil fields.
+
+    With ``conv_op=None`` uses direct Duan-Rokhlin Hankel sampling
+    (``entriesSparseA``/``entriesSparseG`` semantics,
+    ``src/SparsifyingMatrix2D.jl:5-102,205-275``); otherwise samples G by
+    unit impulses through the given fast operator (``entriesSparseAConv``,
+    ``:104-201,278-348``).
+
+    Returns (A, AG) as ``StencilMatrix2D``.
+    """
+    n, m = len(x), len(y)
+    X, Y = np.meshgrid(np.asarray(x), np.asarray(y), indexing="xy")
+    if conv_op is None:
+        if d0 is None:
+            d0 = greens.duan_rokhlin_d0(k * h)
+        sampler = _sampler_2d_trapezoidal(k, X, Y, d0, h)
+    else:
+        sampler = _sampler_conv(conv_op)
+    classes = build_annihilator_classes(sampler, (m, n))
+    a_field, ag_field = _assemble_fields(classes, (m, n))
+    return (
+        StencilMatrix2D(values=jnp.asarray(a_field, dtype=dtype)),
+        StencilMatrix2D(values=jnp.asarray(ag_field, dtype=dtype)),
+    )
+
+
+def build_sparse_a_2d(k, x, y, h, d0=None, conv_op=None, dtype=jnp.complex64):
+    """``A`` only (reference ``buildSparseA``,
+    ``src/SparsifyingMatrix2D.jl:806-884``)."""
+    return build_sparse_a_ag_2d(k, x, y, h, d0=d0, conv_op=conv_op, dtype=dtype)[0]
+
+
+def build_msp_2d(a: StencilMatrix2D, ag: StencilMatrix2D, nu, k: float):
+    """``Msp = A + k^2 (A G) diag(nu)`` (``examples/example.jl:67``)."""
+    nu_arr = jnp.asarray(np.asarray(nu), dtype=a.values.dtype)
+    return a + (k ** 2) * ag.scale_columns(nu_arr)
+
+
+# -----------------------------------------------------------------------------
+# 3D builders
+# -----------------------------------------------------------------------------
+
+def build_sparse_a_ag_3d(
+    k: float,
+    conv_op,
+    dtype=jnp.complex64,
+):
+    """3D annihilator fields via impulse sampling through the 3D fast
+    operator (reference ``entriesSparseA3D``/``buildSparseA3DConv``/
+    ``buildSparseAG3DConv``, ``src/SparsifyingMatrix3D.jl:963-1659``)."""
+    shape = (conv_op.l, conv_op.m, conv_op.n)
+    sampler = _sampler_conv(conv_op)
+    classes = build_annihilator_classes(sampler, shape)
+    a_field, ag_field = _assemble_fields(classes, shape)
+    return (
+        StencilMatrix3D(values=jnp.asarray(a_field, dtype=dtype)),
+        StencilMatrix3D(values=jnp.asarray(ag_field, dtype=dtype)),
+    )
+
+
+def build_msp_3d(a: StencilMatrix3D, ag: StencilMatrix3D, nu, k: float):
+    nu_arr = jnp.asarray(np.asarray(nu), dtype=a.values.dtype)
+    return a + (k ** 2) * ag.scale_columns(nu_arr)
