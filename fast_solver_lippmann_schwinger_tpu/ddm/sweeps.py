@@ -1,0 +1,142 @@
+"""Bi-directional Gauss-Seidel sweeping preconditioners on volume unknowns.
+
+TPU-native counterpart of the reference's optimized polarized-traces sweep
+``precondGSOptimized`` (``src/preconditioner.jl:557-630``) and the
+alternating x/y double sweep ``doubleGSPreconditioner`` /
+``doublePreconditioner`` (``src/preconditioner.jl:4-24,92-130,228-249``).
+
+Each sweep is two ``lax.scan``s over the slab axis (down, then up); the only
+inter-slab data are four n-vectors of interface traces — exactly the
+distribution boundary exploited by the sharded version in
+``parallel/sharded.py``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from fast_solver_lippmann_schwinger_tpu.ddm.subdomain import (
+    SlabSystem,
+    gather_interior,
+    partition_source,
+)
+from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
+    BlockTridiagFactorization,
+    band_matvec,
+    block_thomas_solve,
+)
+from fast_solver_lippmann_schwinger_tpu.sparse.stencil_matrix import StencilMatrix2D
+
+
+def _slab_xs(slabs: SlabSystem):
+    return dict(
+        fac=slabs.fac,
+        l0=slabs.l0, l1=slabs.l1, ln=slabs.ln, lnp=slabs.lnp,
+        has_top=slabs.has_top, has_bot=slabs.has_bot,
+        cpl_01=slabs.cpl_01, cpl_10=slabs.cpl_10,
+        cpl_n_np=slabs.cpl_n_np, cpl_np_n=slabs.cpl_np_n,
+    )
+
+
+def gs_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
+    """One optimized Gauss-Seidel down/up sweep: ``u ~ Msp^{-1} b``.
+
+    Semantics of ``precondGSOptimized`` (``src/preconditioner.jl:557-630``):
+
+    * DOWN: local solves in slab order; slab s receives equivalent sources
+      built from slab s-1's outgoing traces (one-sided Green's
+      representation); record outgoing traces (u_n, u_np).
+    * UP: revisit slabs in reverse; add equivalent sources from slab s+1's
+      (u_0, u_1); record incoming traces with the reflection correction
+      ``u_1 <- u[ind_1] - u_np``; reconstruct interiors on the fly.
+    """
+    rhs0 = partition_source(slabs, b)      # (S, m1_max, n)
+    dtype = rhs0.dtype
+    n = slabs.n
+
+    def down_step(carry, xs):
+        u_n_prev, u_np_prev = carry
+        rhs = xs["rhs"]
+        add0 = band_matvec(xs["cpl_01"], u_np_prev)
+        add1 = -band_matvec(xs["cpl_10"], u_n_prev)
+        zero = jnp.zeros_like(add0)
+        rhs = rhs.at[xs["l0"]].add(jnp.where(xs["has_top"], add0, zero))
+        rhs = rhs.at[xs["l1"]].add(jnp.where(xs["has_top"], add1, zero))
+        v = block_thomas_solve(xs["fac"], rhs)
+        u_n = v[xs["ln"]]
+        u_np = v[xs["lnp"]]
+        return (u_n, u_np), (rhs, u_np)
+
+    zeros_n = jnp.zeros((n,), dtype)
+    xs = dict(_slab_xs(slabs), rhs=rhs0)
+    (_, _), (rhs_down, u_np_all) = jax.lax.scan(down_step, (zeros_n, zeros_n), xs)
+
+    # u_np of the slab ABOVE (s-1), used for the reflection correction
+    u_np_above = jnp.concatenate([zeros_n[None], u_np_all[:-1]], axis=0)
+
+    def up_step(carry, xs):
+        u_0_next, u_1_next = carry
+        rhs = xs["rhs"]
+        addnp = band_matvec(xs["cpl_np_n"], u_0_next)
+        addn = -band_matvec(xs["cpl_n_np"], u_1_next)
+        zero = jnp.zeros_like(addnp)
+        rhs = rhs.at[xs["lnp"]].add(jnp.where(xs["has_bot"], addnp, zero))
+        rhs = rhs.at[xs["ln"]].add(jnp.where(xs["has_bot"], addn, zero))
+        u = block_thomas_solve(xs["fac"], rhs)
+        u_0 = u[xs["l0"]]
+        u_1 = u[xs["l1"]] - xs["u_np_above"]
+        return (u_0, u_1), u
+
+    xs_up = dict(_slab_xs(slabs), rhs=rhs_down, u_np_above=u_np_above)
+    xs_up_rev = jax.tree_util.tree_map(lambda a: a[::-1], xs_up)
+    (_, _), u_rev = jax.lax.scan(up_step, (zeros_n, zeros_n), xs_up_rev)
+    return gather_interior(slabs, u_rev[::-1])
+
+
+@struct.dataclass
+class GSPreconditioner:
+    """Single-direction sweep preconditioner for the sparsified system
+    (reference ``GSPreconditioner``, ``src/preconditioner.jl:78-89,178-184``)."""
+
+    slabs: SlabSystem
+
+    def apply(self, b: jnp.ndarray) -> jnp.ndarray:
+        return gs_sweep(self.slabs, b)
+
+    def __call__(self, b):
+        return self.apply(b)
+
+
+@struct.dataclass
+class DoubleSweepPreconditioner:
+    """Alternating bi-directional (y then x) sweep for the full LS system.
+
+    ``b -> u - T' GS_x(T (Msp u - As b))`` with ``u = GS_y(As b)`` — the
+    ``doublePreconditioner`` ``maxIter = 0`` path
+    (``src/preconditioner.jl:121-130,228-249``).  ``slabs_t`` must be built
+    from the transposed stencil fields and medium
+    (``tests/plasma_example.jl:103-114``).
+    """
+
+    slabs: SlabSystem
+    slabs_t: SlabSystem
+    msp: StencilMatrix2D
+    a_s: StencilMatrix2D
+
+    def _transpose_flat(self, v: jnp.ndarray) -> jnp.ndarray:
+        return v.reshape(self.msp.m, self.msp.n).T.reshape(-1)
+
+    def apply_sparsified(self, b: jnp.ndarray) -> jnp.ndarray:
+        """The double sweep on the sparsified system (``doubleGSPreconditioner``)."""
+        u = gs_sweep(self.slabs, b)
+        err = self.msp.matvec(u) - b
+        u2 = self._transpose_flat(gs_sweep(self.slabs_t, self._transpose_flat(err)))
+        return u - u2
+
+    def apply(self, b: jnp.ndarray) -> jnp.ndarray:
+        return self.apply_sparsified(self.a_s.matvec(b))
+
+    def __call__(self, b):
+        return self.apply(b)

@@ -1,0 +1,122 @@
+"""Domain-decomposition sweep preconditioners on a scaled-down plasma
+problem (the reference's ``tests/plasma_example.jl`` configuration shrunk to
+test size)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fast_solver_lippmann_schwinger_tpu.core.grids import Grid2D
+from fast_solver_lippmann_schwinger_tpu.ddm.subdomain import (
+    build_slab_system,
+    subdomain_limits,
+)
+from fast_solver_lippmann_schwinger_tpu.ddm.sweeps import (
+    DoubleSweepPreconditioner,
+    GSPreconditioner,
+    gs_sweep,
+)
+from fast_solver_lippmann_schwinger_tpu.models import media
+from fast_solver_lippmann_schwinger_tpu.ops.fastconv import build_fast_convolution_2d
+from fast_solver_lippmann_schwinger_tpu.solver.gmres import gmres
+from fast_solver_lippmann_schwinger_tpu.sparse import stencils
+
+
+N_SUBS = 3
+NPML = 6
+
+
+@pytest.fixture(scope="module")
+def plasma_problem():
+    grid = Grid2D(a=1.0, h=1.0 / 60.0)
+    k = 1.0 / grid.h
+    X, Y = grid.mesh()
+    nu = media.plasma_2d(X, Y)
+    op = build_fast_convolution_2d(
+        grid.x, grid.y, grid.h, k, nu, quad_rule="greengard_vico",
+        dtype=jnp.complex128,
+    )
+    a_st, ag_st = stencils.build_sparse_a_ag_2d(
+        k, grid.x, grid.y, grid.h, dtype=jnp.complex128
+    )
+    msp = stencils.build_msp_2d(a_st, ag_st, nu, k)
+    return grid, k, X, Y, nu, op, a_st, ag_st, msp
+
+
+def test_subdomain_limits_partition():
+    ind1, indn = subdomain_limits(801, 16)
+    assert ind1[0] == 0 and indn[-1] == 800
+    # slabs tile the lines without gaps or overlap
+    assert all(ind1[i + 1] == indn[i] + 1 for i in range(15))
+
+
+def test_gs_sweep_preconditions_sparsified_system(plasma_problem):
+    grid, k, X, Y, nu, op, a_st, ag_st, msp = plasma_problem
+    slabs = build_slab_system(
+        a_st, ag_st, nu, grid.x, grid.y, grid.h, k, N_SUBS, npml=NPML
+    )
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(
+        rng.standard_normal(grid.size) + 1j * rng.standard_normal(grid.size)
+    )
+    precond = GSPreconditioner(slabs)
+    x, info = gmres(msp.matvec, b, preconditioner=precond.apply,
+                    rtol=1e-8, restart=20, maxiter=100)
+    assert bool(info.converged)
+    iters = int(info.n_iterations)
+    res = np.linalg.norm(np.asarray(msp.matvec(x) - b)) / np.linalg.norm(
+        np.asarray(b)
+    )
+    assert res < 1e-6
+    assert iters <= 40, f"GS sweep too weak: {iters} iterations"
+
+
+def test_double_sweep_preconditions_full_system(plasma_problem):
+    grid, k, X, Y, nu, op, a_st, ag_st, msp = plasma_problem
+    slabs = build_slab_system(
+        a_st, ag_st, nu, grid.x, grid.y, grid.h, k, N_SUBS, npml=NPML
+    )
+    slabs_t = build_slab_system(
+        a_st.transpose(), ag_st.transpose(), np.asarray(nu).T,
+        grid.y, grid.x, grid.h, k, N_SUBS, npml=NPML,
+    )
+    precond = DoubleSweepPreconditioner(
+        slabs=slabs, slabs_t=slabs_t, msp=msp, a_s=a_st
+    )
+    u_inc = jnp.asarray(np.exp(1j * k * X.ravel()))
+    rhs = -(op.apply(u_inc) - u_inc)
+    u, info = gmres(op.apply, rhs, preconditioner=precond.apply,
+                    rtol=1e-8, restart=20, maxiter=100)
+    assert bool(info.converged)
+    iters = int(info.n_iterations)
+    res = np.linalg.norm(np.asarray(op.apply(u) - rhs)) / np.linalg.norm(
+        np.asarray(rhs)
+    )
+    assert res < 1e-6
+    # the bi-directional sweep should converge in O(10) iterations
+    assert iters <= 30, f"double sweep too weak: {iters} iterations"
+
+
+def test_sweep_vs_direct_solve(plasma_problem):
+    """One GS sweep is an approximate Msp solve; preconditioned GMRES on Msp
+    must agree with the global block-Thomas direct solve."""
+    from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
+        block_thomas_solve,
+        factor_stencil_2d,
+    )
+
+    grid, k, X, Y, nu, op, a_st, ag_st, msp = plasma_problem
+    slabs = build_slab_system(
+        a_st, ag_st, nu, grid.x, grid.y, grid.h, k, N_SUBS, npml=NPML
+    )
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(
+        rng.standard_normal(grid.size) + 1j * rng.standard_normal(grid.size)
+    )
+    fac = factor_stencil_2d(msp)
+    x_direct = np.asarray(block_thomas_solve(fac, b))
+    precond = GSPreconditioner(slabs)
+    x_it, info = gmres(msp.matvec, b, preconditioner=precond.apply,
+                       rtol=1e-10, restart=20, maxiter=200)
+    rel = np.linalg.norm(np.asarray(x_it) - x_direct) / np.linalg.norm(x_direct)
+    assert rel < 1e-6
