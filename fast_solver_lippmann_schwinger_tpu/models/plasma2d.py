@@ -1,0 +1,82 @@
+"""2D plasma scattering with the alternating bi-directional sweep.
+
+Equivalent of the reference's headline benchmark driver
+``tests/plasma_example.jl`` (h = 1/800, k = 800, 16 slabs, npml = 10,
+Greengard-Vico operator, ``doublePreconditioner`` with ``maxIter = 0``) —
+parameterized so tests run it scaled down.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from fast_solver_lippmann_schwinger_tpu.core.grids import Grid2D
+from fast_solver_lippmann_schwinger_tpu.ddm.subdomain import build_slab_system
+from fast_solver_lippmann_schwinger_tpu.ddm.sweeps import DoubleSweepPreconditioner
+from fast_solver_lippmann_schwinger_tpu.models import media
+from fast_solver_lippmann_schwinger_tpu.ops.fastconv import (
+    LippmannSchwinger2D,
+    build_fast_convolution_2d,
+)
+from fast_solver_lippmann_schwinger_tpu.solver.gmres import gmres
+from fast_solver_lippmann_schwinger_tpu.sparse import stencils
+
+
+@dataclasses.dataclass
+class Plasma2DProblem:
+    grid: Grid2D
+    k: float
+    op: LippmannSchwinger2D
+    precond: DoubleSweepPreconditioner
+    nu: np.ndarray
+
+
+def build_problem(
+    h: float = 1.0 / 800.0,
+    n_subdomains: int = 16,
+    npml: int = 10,
+    dtype=jnp.complex64,
+) -> Plasma2DProblem:
+    grid = Grid2D(a=1.0, h=h)
+    k = 1.0 / h
+    X, Y = grid.mesh()
+    nu = media.plasma_2d(X, Y)
+
+    op = build_fast_convolution_2d(
+        grid.x, grid.y, h, k, nu, quad_rule="greengard_vico", dtype=dtype
+    )
+    a_st, ag_st = stencils.build_sparse_a_ag_2d(k, grid.x, grid.y, h, dtype=dtype)
+    msp = stencils.build_msp_2d(a_st, ag_st, nu, k)
+
+    slabs = build_slab_system(
+        a_st, ag_st, nu, grid.x, grid.y, h, k, n_subdomains, npml=npml
+    )
+    slabs_t = build_slab_system(
+        a_st.transpose(), ag_st.transpose(), nu.T,
+        grid.y, grid.x, h, k, n_subdomains, npml=npml,
+    )
+    precond = DoubleSweepPreconditioner(
+        slabs=slabs, slabs_t=slabs_t, msp=msp, a_s=a_st
+    )
+    return Plasma2DProblem(grid=grid, k=k, op=op, precond=precond, nu=nu)
+
+
+def solve(problem: Plasma2DProblem, incident_direction=(1.0, 0.0),
+          rtol: float = 1e-8, restart: int = 20, maxiter: int = 100):
+    """Scattering solve for a plane-wave incident field
+    (``tests/plasma_example.jl:160-170``)."""
+    X, Y = problem.grid.mesh()
+    dx, dy = incident_direction
+    dtype = problem.op.symbol.dtype
+    u_inc = jnp.asarray(
+        np.exp(1j * problem.k * (dx * X.ravel() + dy * Y.ravel())), dtype=dtype
+    )
+    rhs = -(problem.op.apply(u_inc) - u_inc)
+    return gmres(
+        problem.op.apply, rhs, preconditioner=problem.precond.apply,
+        rtol=rtol, restart=restart, maxiter=maxiter,
+    )
