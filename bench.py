@@ -43,14 +43,16 @@ def measure_apply(h=1.0 / 800.0, dtype_name="complex64", iters=20,
     op = build_fast_convolution_2d(
         grid.x, grid.y, h, k, nu, quad_rule="greengard_vico", dtype=dtype
     )
-    apply_fn = jax.jit(op.apply)
+    # the operator pytree is an explicit argument (closure-captured device
+    # arrays would be lowered as giant constants, which some backends reject)
+    apply_fn = jax.jit(lambda o, v: o.apply(v))
     u = jnp.asarray(np.exp(1j * k * X.ravel()), dtype=dtype)
     # warmup / compile
-    out = apply_fn(u)
+    out = apply_fn(op, u)
     out.block_until_ready()
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = apply_fn(out)
+        out = apply_fn(op, out)
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
     return grid.size / dt, dt, grid.size

@@ -58,8 +58,9 @@ def _spline_cutoff(t: np.ndarray) -> np.ndarray:
 def _filter_profile(a1, b1, b2, a2, y):
     """Rise from 0 at a1 to 1 at b1, plateau, fall to 0 at a2
     (``src/subdomains.jl:47``)."""
-    rise = _spline_cutoff((b1 - y) / abs(b1 - a1))
-    fall = _spline_cutoff((y - b2) / abs(a2 - b2))
+    eps = 1e-300
+    rise = _spline_cutoff((b1 - y) / max(abs(b1 - a1), eps))
+    fall = _spline_cutoff((y - b2) / max(abs(a2 - b2), eps))
     out = np.where(y < b1, rise, np.where(y < b2, 1.0, fall))
     return np.where(y >= a1, out, 0.0)
 

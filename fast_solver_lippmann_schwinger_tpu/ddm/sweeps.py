@@ -13,6 +13,8 @@ distribution boundary exploited by the sharded version in
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -95,6 +97,88 @@ def gs_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
     return gather_interior(slabs, u_rev[::-1])
 
 
+def jacobi_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
+    """Block-Jacobi sweep: the down and up trace recursions both build on
+    the *initial* local solves, independently of each other; a final local
+    solve per slab combines source + both trace families.  Semantics of
+    ``precondJacobi`` (``src/preconditioner.jl:421-550``, whose reference
+    version is dead code due to the unbound-variable typo at ``:547``).
+    """
+    rhs0 = partition_source(slabs, b)
+    dtype = rhs0.dtype
+    n = slabs.n
+    zeros_n = jnp.zeros((n,), dtype)
+    idx = jnp.arange(slabs.n_subs)
+
+    # initial local solves and their traces
+    v_init = jax.vmap(block_thomas_solve)(slabs.fac, rhs0)
+    tn_init = v_init[idx, slabs.ln]
+    tnp_init = v_init[idx, slabs.lnp]
+    t0_init = v_init[idx, slabs.l0]
+    t1_init = v_init[idx, slabs.l1]
+
+    def trace_rhs_down(xs, u_n_prev, u_np_prev):
+        rhs = jnp.zeros((slabs.m1_max, n), dtype)
+        add0 = band_matvec(xs["cpl_01"], u_np_prev)
+        add1 = -band_matvec(xs["cpl_10"], u_n_prev)
+        zero = jnp.zeros_like(add0)
+        rhs = rhs.at[xs["l0"]].add(jnp.where(xs["has_top"], add0, zero))
+        rhs = rhs.at[xs["l1"]].add(jnp.where(xs["has_top"], add1, zero))
+        return rhs
+
+    def down_step(carry, xs):
+        u_n_prev, u_np_prev = carry
+        t = block_thomas_solve(xs["fac"], trace_rhs_down(xs, u_n_prev, u_np_prev))
+        u_n = xs["tn_init"] + t[xs["ln"]]
+        u_np = xs["tnp_init"] + t[xs["lnp"]]
+        return (u_n, u_np), (u_n, u_np)
+
+    xs = dict(_slab_xs(slabs), tn_init=tn_init, tnp_init=tnp_init)
+    (_, _), (u_n_all, u_np_all) = jax.lax.scan(down_step, (zeros_n, zeros_n), xs)
+
+    def trace_rhs_up(xs, u_0_next, u_1_next):
+        rhs = jnp.zeros((slabs.m1_max, n), dtype)
+        addnp = band_matvec(xs["cpl_np_n"], u_0_next)
+        addn = -band_matvec(xs["cpl_n_np"], u_1_next)
+        zero = jnp.zeros_like(addnp)
+        rhs = rhs.at[xs["lnp"]].add(jnp.where(xs["has_bot"], addnp, zero))
+        rhs = rhs.at[xs["ln"]].add(jnp.where(xs["has_bot"], addn, zero))
+        return rhs
+
+    def up_step(carry, xs):
+        u_0_next, u_1_next = carry
+        t = block_thomas_solve(xs["fac"], trace_rhs_up(xs, u_0_next, u_1_next))
+        u_0 = xs["t0_init"] + t[xs["l0"]]
+        u_1 = xs["t1_init"] + t[xs["l1"]]
+        return (u_0, u_1), (u_0, u_1)
+
+    xs_up = dict(_slab_xs(slabs), t0_init=t0_init, t1_init=t1_init)
+    xs_up_rev = jax.tree_util.tree_map(lambda a: a[::-1], xs_up)
+    (_, _), (u_0_rev, u_1_rev) = jax.lax.scan(up_step, (zeros_n, zeros_n), xs_up_rev)
+    u_0_all, u_1_all = u_0_rev[::-1], u_1_rev[::-1]
+
+    # final reconstruction: source + down traces from above + up traces from
+    # below, one batched solve over all slabs
+    u_n_above = jnp.concatenate([zeros_n[None], u_n_all[:-1]], axis=0)
+    u_np_above = jnp.concatenate([zeros_n[None], u_np_all[:-1]], axis=0)
+    u_0_below = jnp.concatenate([u_0_all[1:], zeros_n[None]], axis=0)
+    u_1_below = jnp.concatenate([u_1_all[1:], zeros_n[None]], axis=0)
+
+    def final_rhs(rhs, xs):
+        rhs = rhs + trace_rhs_down(xs, xs["u_n_above"], xs["u_np_above"])
+        rhs = rhs + trace_rhs_up(xs, xs["u_0_below"], xs["u_1_below"])
+        return rhs
+
+    xs_fin = dict(
+        _slab_xs(slabs),
+        u_n_above=u_n_above, u_np_above=u_np_above,
+        u_0_below=u_0_below, u_1_below=u_1_below,
+    )
+    rhs_fin = jax.vmap(final_rhs)(rhs0, xs_fin)
+    u = jax.vmap(block_thomas_solve)(slabs.fac, rhs_fin)
+    return gather_interior(slabs, u)
+
+
 @struct.dataclass
 class GSPreconditioner:
     """Single-direction sweep preconditioner for the sparsified system
@@ -104,6 +188,42 @@ class GSPreconditioner:
 
     def apply(self, b: jnp.ndarray) -> jnp.ndarray:
         return gs_sweep(self.slabs, b)
+
+    def __call__(self, b):
+        return self.apply(b)
+
+
+@struct.dataclass
+class InnerGMRESPreconditioner:
+    """Composite preconditioner: inner GMRES on the sparsified system,
+    itself preconditioned by a sweep.
+
+    Covers the reference's ``Preconditioner`` (GS sweep inner,
+    ``src/preconditioner.jl:107-116,186-204``) and the ``maxIter != 0``
+    branch of ``doublePreconditioner`` (``:228-244``): one restart cycle of
+    length ``max_iter`` at tolerance ``tol`` on ``Msp y = As b``.
+    """
+
+    msp: StencilMatrix2D
+    a_s: StencilMatrix2D
+    sweep: Any
+    max_iter: int = struct.field(pytree_node=False, default=20)
+    tol: float = struct.field(pytree_node=False, default=1e-4)
+
+    def apply(self, b: jnp.ndarray) -> jnp.ndarray:
+        from fast_solver_lippmann_schwinger_tpu.solver.gmres import gmres
+
+        x0 = self.a_s.matvec(b)
+        inner = (
+            self.sweep.apply_sparsified
+            if hasattr(self.sweep, "apply_sparsified")
+            else self.sweep.apply
+        )
+        y, _ = gmres(
+            self.msp.matvec, x0, preconditioner=inner,
+            rtol=self.tol, restart=self.max_iter, maxiter=self.max_iter,
+        )
+        return y
 
     def __call__(self, b):
         return self.apply(b)

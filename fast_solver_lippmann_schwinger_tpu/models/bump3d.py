@@ -1,0 +1,72 @@
+"""3D Gaussian-bump scattering with the sparsifying preconditioner.
+
+Equivalent of ``examples/example3D.jl`` (h = 1/48, k = 48, half-open grid,
+Greengard-Vico quadrature, Conv-sampled sparsifying preconditioner with
+PARDISO — here the z-plane block-Thomas factorization).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from fast_solver_lippmann_schwinger_tpu.core.grids import Grid3D
+from fast_solver_lippmann_schwinger_tpu.models import media
+from fast_solver_lippmann_schwinger_tpu.ops.fastconv import (
+    LippmannSchwinger3D,
+    build_fast_convolution_3d,
+)
+from fast_solver_lippmann_schwinger_tpu.precond.sparsifying import (
+    SparsifyingPreconditioner3D,
+)
+from fast_solver_lippmann_schwinger_tpu.solver.gmres import gmres
+from fast_solver_lippmann_schwinger_tpu.sparse import stencils
+
+
+@dataclasses.dataclass
+class Bump3DProblem:
+    grid: Grid3D
+    k: float
+    op: LippmannSchwinger3D
+    precond: Optional[SparsifyingPreconditioner3D]
+    rhs: jnp.ndarray
+    u_inc: jnp.ndarray
+
+
+def build_problem(
+    h: float = 1.0 / 48.0,
+    dtype=jnp.complex64,
+    with_preconditioner: bool = True,
+) -> Bump3DProblem:
+    grid = Grid3D(a=1.0, h=h)
+    k = 1.0 / h
+    X, Y, Z = grid.mesh()
+    nu = media.gaussian_bump_3d(X, Y, Z)
+
+    op = build_fast_convolution_3d(
+        grid.x, grid.x, grid.x, h, k, nu, dtype=dtype
+    )
+
+    precond = None
+    if with_preconditioner:
+        a_st, ag_st = stencils.build_sparse_a_ag_3d(k, op, dtype=dtype)
+        msp = stencils.build_msp_3d(a_st, ag_st, nu, k)
+        precond = SparsifyingPreconditioner3D.build(msp, a_st)
+
+    u_inc = jnp.asarray(np.exp(1j * k * X.ravel()), dtype=dtype)
+    rhs = -(op.apply(u_inc) - u_inc)
+    return Bump3DProblem(
+        grid=grid, k=k, op=op, precond=precond, rhs=rhs, u_inc=u_inc
+    )
+
+
+def solve(problem: Bump3DProblem, rtol: float = 1e-8, restart: int = 20,
+          maxiter: int = 100, preconditioned: bool = True):
+    precond = problem.precond.apply if (preconditioned and problem.precond) else None
+    return gmres(
+        problem.op.apply, problem.rhs, preconditioner=precond,
+        rtol=rtol, restart=restart, maxiter=maxiter,
+    )
