@@ -1,0 +1,46 @@
+"""3D Gaussian bump with the sparsifying preconditioner.
+
+TPU-native equivalent of ``examples/example3D.jl`` (h = 1/48, k = 48).
+
+Run: python examples/example3d.py [--n 48]
+"""
+
+import argparse
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=48)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--x64", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from fast_solver_lippmann_schwinger_tpu.models import bump3d
+    from fast_solver_lippmann_schwinger_tpu.utils.timing import PhaseTimer
+
+    dtype = jnp.complex128 if args.x64 else jnp.complex64
+    timer = PhaseTimer()
+    with timer.phase("setup"):
+        problem = bump3d.build_problem(h=1.0 / args.n, dtype=dtype)
+        jax.block_until_ready(problem.precond.factorization.cinv)
+    with timer.phase("solve"):
+        u, info = bump3d.solve(problem)
+        u.block_until_ready()
+    res = np.asarray(info.residuals)
+    print(f"iterations: {int(info.n_iterations)}")
+    print("residuals:", res[res > 0])
+    timer.log(grid=problem.grid.shape, k=problem.k)
+
+
+if __name__ == "__main__":
+    main()

@@ -40,13 +40,13 @@ def gauss_legendre(n: int, a: float = -1.0, b: float = 1.0):
     for _ in range(100):
         p = eval_legendre(n + 1, y)
         # derivative of P_n via the standard identity
-        dp = (n + 1) * (p[:, n - 1] - y * p[:, n]) / (1 - y ** 2)
+        dp = n * (p[:, n - 1] - y * p[:, n]) / (1 - y ** 2)
         dy = p[:, n] / dp
         y = y - dy
         if np.max(np.abs(dy)) < 1e-15:
             break
     p = eval_legendre(n + 1, y)
-    dp = (n + 1) * (p[:, n - 1] - y * p[:, n]) / (1 - y ** 2)
+    dp = n * (p[:, n - 1] - y * p[:, n]) / (1 - y ** 2)
     w = 2.0 / ((1 - y ** 2) * dp ** 2)
     x = 0.5 * (a * (1 - y) + b * (1 + y))
     return x[::-1].copy(), (0.5 * (b - a) * w)[::-1].copy()

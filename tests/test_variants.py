@@ -1,0 +1,145 @@
+"""Preconditioner variants (Jacobi sweep, inner-GMRES composites),
+quadrature toolbox, and checkpoint utilities."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fast_solver_lippmann_schwinger_tpu.core.grids import Grid2D
+from fast_solver_lippmann_schwinger_tpu.ddm.subdomain import build_slab_system
+from fast_solver_lippmann_schwinger_tpu.ddm.sweeps import (
+    DoubleSweepPreconditioner,
+    GSPreconditioner,
+    InnerGMRESPreconditioner,
+    jacobi_sweep,
+)
+from fast_solver_lippmann_schwinger_tpu.models import media
+from fast_solver_lippmann_schwinger_tpu.solver import quadratures as quad
+from fast_solver_lippmann_schwinger_tpu.solver.gmres import gmres
+from fast_solver_lippmann_schwinger_tpu.sparse import stencils
+
+
+@pytest.fixture(scope="module")
+def small_ddm():
+    grid = Grid2D(a=1.0, h=1.0 / 48.0)
+    k = 1.0 / grid.h
+    X, Y = grid.mesh()
+    nu = media.gaussian_bump_2d(X, Y)
+    a_st, ag_st = stencils.build_sparse_a_ag_2d(
+        k, grid.x, grid.y, grid.h, dtype=jnp.complex128
+    )
+    msp = stencils.build_msp_2d(a_st, ag_st, nu, k)
+    slabs = build_slab_system(
+        a_st, ag_st, nu, grid.x, grid.y, grid.h, k, 3, npml=6
+    )
+    return grid, k, nu, a_st, ag_st, msp, slabs
+
+
+def test_jacobi_sweep_preconditions(small_ddm):
+    grid, k, nu, a_st, ag_st, msp, slabs = small_ddm
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(
+        rng.standard_normal(grid.size) + 1j * rng.standard_normal(grid.size)
+    )
+    x, info = gmres(
+        msp.matvec, b, preconditioner=lambda v: jacobi_sweep(slabs, v),
+        rtol=1e-8, restart=20, maxiter=120,
+    )
+    assert bool(info.converged)
+    res = np.linalg.norm(np.asarray(msp.matvec(x) - b)) / np.linalg.norm(
+        np.asarray(b)
+    )
+    assert res < 1e-6
+
+
+def test_inner_gmres_preconditioner(small_ddm):
+    grid, k, nu, a_st, ag_st, msp, slabs = small_ddm
+    precond = InnerGMRESPreconditioner(
+        msp=msp, a_s=a_st, sweep=GSPreconditioner(slabs), max_iter=10, tol=1e-4
+    )
+    from fast_solver_lippmann_schwinger_tpu.ops.fastconv import (
+        build_fast_convolution_2d,
+    )
+
+    X, Y = grid.mesh()
+    op = build_fast_convolution_2d(
+        grid.x, grid.y, grid.h, k, nu, quad_rule="greengard_vico",
+        dtype=jnp.complex128,
+    )
+    u_inc = jnp.asarray(np.exp(1j * k * X.ravel()))
+    rhs = -(op.apply(u_inc) - u_inc)
+    u, info = gmres(op.apply, rhs, preconditioner=precond.apply,
+                    rtol=1e-8, restart=20, maxiter=60)
+    assert bool(info.converged)
+    res = np.linalg.norm(np.asarray(op.apply(u) - rhs)) / np.linalg.norm(
+        np.asarray(rhs)
+    )
+    assert res < 1e-3
+
+
+def test_gauss_legendre_integrates_polynomials():
+    x, w = quad.gauss_legendre(8)
+    # exact for polynomials up to degree 15
+    for p in range(16):
+        got = np.sum(w * x ** p)
+        exact = 0.0 if p % 2 else 2.0 / (p + 1)
+        np.testing.assert_allclose(got, exact, atol=1e-13)
+    # interval mapping
+    x2, w2 = quad.gauss_legendre(8, 0.0, 2.0)
+    np.testing.assert_allclose(np.sum(w2 * x2 ** 3), 4.0, atol=1e-12)
+
+
+def test_legendre_q_values():
+    # Q_0(2) = 0.5 ln 3; Q_1(2) = ln(3) - 1
+    q = quad.legendre_q(3, 2.0)
+    np.testing.assert_allclose(q[0], 0.5 * np.log(3.0))
+    np.testing.assert_allclose(q[1], np.log(3.0) - 1.0)
+
+
+def test_modified_log_weights():
+    """Modified weights integrate f(x) * 0.5*log((y-x)^2) exactly for smooth
+    f — check against adaptive quadrature."""
+    from scipy.integrate import quad as sciquad
+
+    y = 1.5
+    x, w = quad.gauss_legendre(24)
+    wlog = quad.modified_weights_log(w, x, y)
+    f = lambda t: np.exp(t)
+    got = np.sum(wlog * f(x))
+    exact, _ = sciquad(lambda t: f(t) * 0.5 * np.log((y - t) ** 2), -1, 1)
+    np.testing.assert_allclose(got, exact, rtol=1e-8)
+
+
+def test_modified_pv_weights():
+    from scipy.integrate import quad as sciquad
+
+    y = 1.5  # outside the interval: plain integral, no PV needed
+    x, w = quad.gauss_legendre(24)
+    wpv = quad.modified_weights_pv(w, x, y)
+    f = lambda t: np.cos(t)
+    got = np.sum(wpv * f(x))
+    exact, _ = sciquad(lambda t: f(t) / (y - t), -1, 1)
+    np.testing.assert_allclose(got, exact, rtol=1e-8)
+
+
+def test_legendre_interp_matrix():
+    x, w = quad.gauss_legendre(16)
+    s = np.linspace(-0.9, 0.9, 11)
+    mat = quad.legendre_interp_matrix(s, x, w)
+    f = lambda t: np.sin(3 * t) + t ** 2
+    np.testing.assert_allclose(mat @ f(x), f(s), atol=1e-9)
+
+
+def test_checkpoint_roundtrip(tmp_path, small_ddm):
+    from fast_solver_lippmann_schwinger_tpu.utils import checkpoint
+
+    grid, k, nu, a_st, ag_st, msp, slabs = small_ddm
+    path = os.path.join(tmp_path, "a_st.npz")
+    checkpoint.save_arrays(path, a_st, kind="a_st")
+    loaded = checkpoint.load_arrays(path, like=a_st)
+    np.testing.assert_allclose(
+        np.asarray(loaded.values), np.asarray(a_st.values)
+    )
+    assert checkpoint.load_arrays(os.path.join(tmp_path, "nope.npz")) is None
