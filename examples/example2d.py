@@ -8,6 +8,11 @@ Run: python examples/example2d.py [--h 0.005] [--cpu]
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 import time
 

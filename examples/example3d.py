@@ -6,6 +6,11 @@ Run: python examples/example3d.py [--n 48]
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import numpy as np
 

@@ -7,6 +7,11 @@ Run: python examples/example_plasma2d.py [--h 0.00125] [--subs 16]
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import numpy as np
 

@@ -153,6 +153,99 @@ def sharded_gs_sweep(slabs: SlabSystem, b: jnp.ndarray, mesh: Mesh,
     return shard_fn(slabs, b)
 
 
+def sharded_gs_sweep_pipelined(slabs: SlabSystem, b_batch: jnp.ndarray,
+                               mesh: Mesh, axis: str = "slab") -> jnp.ndarray:
+    """Wavefront-pipelined multi-RHS sweep: device d processes RHS r at
+    stage r + d, so with n_rhs >= n_devices the sequential slab chain runs
+    at full machine utilization (the scaling answer to the inherently
+    serial sweep — SURVEY.md section 2.4 "pipeline them").
+
+    One slab per device.  ``b_batch`` is (R, m*n) replicated; returns the
+    (R, m*n) batch of sweep results, numerically identical to vmapping
+    ``gs_sweep`` over the batch.  Interface traces move to the neighbor via
+    ``ppermute`` each stage, overlapping with the next stage's local solve.
+    """
+    S = slabs.n_subs
+    D = mesh.shape[axis]
+    assert S == D, "pipelined sweep runs one slab per device"
+    R = b_batch.shape[0]
+    n = slabs.n
+    dtype = slabs.h_stencils.dtype
+    specs = slab_sharding_specs(slabs, axis)
+
+    def fn(slab_shard, b_rep):
+        me = jax.lax.axis_index(axis)
+        sl = _local_slab(slab_shard, 0)
+        bg = b_rep.reshape(R, slabs.m, slabs.n)
+        # (R, m1_max, n) local sources for my slab
+        rhs_all = jnp.where(
+            sl.src_valid[None, :, None], bg[:, sl.src_line], 0.0
+        ).astype(dtype)
+
+        zeros_n = jnp.zeros((n,), dtype)
+        zeros2 = jnp.zeros((2, n), dtype)
+        fwd = [(i, (i + 1) % D) for i in range(D)]
+        bwd = [(i, (i - 1) % D) for i in range(D)]
+
+        # ---- down wavefront ----
+        recv = zeros2          # traces from the left neighbor, for my r = t - me
+        u_np_all = jnp.zeros((R, n), dtype)
+        for t in range(S + R - 1):
+            r = t - me
+            valid = (r >= 0) & (r < R)
+            rc = jnp.clip(r, 0, R - 1)
+            rhs = rhs_all[rc]
+            add0 = band_matvec(sl.cpl_01, recv[1])
+            add1 = -band_matvec(sl.cpl_10, recv[0])
+            rhs = rhs.at[sl.l0].add(jnp.where(sl.has_top, add0, zeros_n))
+            rhs = rhs.at[sl.l1].add(jnp.where(sl.has_top, add1, zeros_n))
+            v = block_thomas_solve(sl.fac, rhs)
+            rhs_all = rhs_all.at[rc].set(jnp.where(valid, rhs, rhs_all[rc]))
+            u_np_all = u_np_all.at[rc].set(
+                jnp.where(valid, v[sl.lnp], u_np_all[rc])
+            )
+            out = jnp.where(valid, jnp.stack([v[sl.ln], v[sl.lnp]]), zeros2)
+            recv = jax.lax.ppermute(out, axis, fwd)
+
+        # ---- up wavefront ----
+        recv = zeros2          # raw (u_0, u_1) traces from the slab below
+        out_local = jnp.zeros((R, slabs.m1_max, n), dtype)
+        for t in range(S + R - 1):
+            r = t - (S - 1 - me)
+            valid = (r >= 0) & (r < R)
+            rc = jnp.clip(r, 0, R - 1)
+            rhs = rhs_all[rc]
+            # reflection: the sender's raw u_1 is corrected with MY
+            # down-sweep u_np for this rhs (the ``u_1 - u_np_above`` of the
+            # single-device sweep, src/preconditioner.jl:622)
+            u1_corr = recv[1] - u_np_all[rc]
+            addnp = band_matvec(sl.cpl_np_n, recv[0])
+            addn = -band_matvec(sl.cpl_n_np, u1_corr)
+            rhs = rhs.at[sl.lnp].add(jnp.where(sl.has_bot, addnp, zeros_n))
+            rhs = rhs.at[sl.ln].add(jnp.where(sl.has_bot, addn, zeros_n))
+            u = block_thomas_solve(sl.fac, rhs)
+            out_local = out_local.at[rc].set(
+                jnp.where(valid, u, out_local[rc])
+            )
+            out = jnp.where(valid, jnp.stack([u[sl.l0], u[sl.l1]]), zeros2)
+            recv = jax.lax.ppermute(out, axis, bwd)
+
+        own = slab_shard.owner
+        mine_lines = own == me
+        vals = out_local[:, slab_shard.owner_line]    # (R, m, n) via gather
+        contrib = jnp.where(mine_lines[None, :, None], vals, 0.0)
+        return jax.lax.psum(contrib, axis).reshape(R, -1)
+
+    shard_fn = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(specs, P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return shard_fn(slabs, b_batch)
+
+
 def make_sharded_double_sweep(slabs, slabs_t, msp, a_s, mesh, axis="slab"):
     """Sharded version of the alternating bi-directional preconditioner."""
 
