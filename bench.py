@@ -43,18 +43,34 @@ def measure_apply(h=1.0 / 800.0, dtype_name="complex64", iters=20,
     op = build_fast_convolution_2d(
         grid.x, grid.y, h, k, nu, quad_rule="greengard_vico", dtype=dtype
     )
-    # the operator pytree is an explicit argument (closure-captured device
-    # arrays would be lowered as giant constants, which some backends reject)
-    apply_fn = jax.jit(lambda o, v: o.apply(v))
+
+    # The operator pytree is an explicit argument (closure-captured device
+    # arrays would be lowered as giant constants, which some backends
+    # reject).  The whole N-iteration chain runs inside ONE jitted scan with
+    # a data dependence between iterations, and timing is synced by fetching
+    # a scalar to host — `block_until_ready` alone does not gate actual
+    # execution on the remote-tunnel TPU backend.  Two chain lengths cancel
+    # the constant fetch/dispatch overhead.
+    def chain(o, v, n_steps):
+        def body(u, _):
+            u2 = o.apply(u)
+            return u2 / jnp.maximum(jnp.max(jnp.abs(u2)), 1e-30), None
+        out, _ = jax.lax.scan(body, v, None, length=n_steps)
+        return jnp.abs(out).sum()
+
+    n1, n2 = iters, 5 * iters
+    chain1 = jax.jit(lambda o, v: chain(o, v, n1))
+    chain2 = jax.jit(lambda o, v: chain(o, v, n2))
     u = jnp.asarray(np.exp(1j * k * X.ravel()), dtype=dtype)
-    # warmup / compile
-    out = apply_fn(op, u)
-    out.block_until_ready()
+    float(chain1(op, u))  # warmup/compile + first-fetch latency
+    float(chain2(op, u))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = apply_fn(op, out)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
+    s1 = float(chain1(op, u * 1.0000001))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    s2 = float(chain2(op, u * 1.0000002))
+    t2 = time.perf_counter() - t0
+    dt = max(t2 - t1, 1e-9) / (n2 - n1)
     return grid.size / dt, dt, grid.size
 
 
