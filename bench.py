@@ -56,19 +56,24 @@ def measure_apply(h=1.0 / 800.0, dtype_name="complex64", iters=20,
             u2 = o.apply(u)
             return u2 / jnp.maximum(jnp.max(jnp.abs(u2)), 1e-30), None
         out, _ = jax.lax.scan(body, v, None, length=n_steps)
-        return jnp.abs(out).sum()
+        # single (8,) float32 output: the tunnel backend hangs on 0-d and
+        # multi-output fetches, but 1-d single-output fetches work
+        return jnp.broadcast_to(jnp.abs(out).sum(), (8,)).astype(jnp.float32)
+
+    def run_synced(fn, *args):
+        return float(np.asarray(fn(*args))[0])
 
     n1, n2 = iters, 5 * iters
     chain1 = jax.jit(lambda o, v: chain(o, v, n1))
     chain2 = jax.jit(lambda o, v: chain(o, v, n2))
     u = jnp.asarray(np.exp(1j * k * X.ravel()), dtype=dtype)
-    float(chain1(op, u))  # warmup/compile + first-fetch latency
-    float(chain2(op, u))
+    run_synced(chain1, op, u)  # warmup/compile + first-fetch latency
+    run_synced(chain2, op, u)
     t0 = time.perf_counter()
-    s1 = float(chain1(op, u * 1.0000001))
+    run_synced(chain1, op, u * 1.0000001)
     t1 = time.perf_counter() - t0
     t0 = time.perf_counter()
-    s2 = float(chain2(op, u * 1.0000002))
+    run_synced(chain2, op, u * 1.0000002)
     t2 = time.perf_counter() - t0
     dt = max(t2 - t1, 1e-9) / (n2 - n1)
     return grid.size / dt, dt, grid.size

@@ -36,6 +36,7 @@ def main():
 
     from fast_solver_lippmann_schwinger_tpu.models import bump2d
     from fast_solver_lippmann_schwinger_tpu.utils.timing import PhaseTimer
+    from fast_solver_lippmann_schwinger_tpu.utils.host import fetch
 
     dtype = jnp.complex128 if args.x64 else jnp.complex64
     timer = PhaseTimer()
@@ -46,15 +47,15 @@ def main():
     with timer.phase("solve_preconditioned"):
         u, info = bump2d.solve(problem)
         u.block_until_ready()
-    res = np.asarray(info.residuals)
-    print(f"preconditioned: {int(info.n_iterations)} iterations")
+    res = fetch(info.residuals)
+    print(f"preconditioned: {int(fetch(info.n_iterations)[()])} iterations")
     print("residuals:", res[res > 0])
 
     with timer.phase("solve_unpreconditioned"):
         u2, info2 = bump2d.solve(problem, preconditioned=False, maxiter=400)
         u2.block_until_ready()
-    res2 = np.asarray(info2.residuals)
-    print(f"unpreconditioned: {int(info2.n_iterations)} iterations")
+    res2 = fetch(info2.residuals)
+    print(f"unpreconditioned: {int(fetch(info2.n_iterations)[()])} iterations")
     print("residuals (first 20):", res2[res2 > 0][:20])
     timer.log(grid=problem.grid.shape, k=problem.k)
 

@@ -32,6 +32,7 @@ def main():
 
     from fast_solver_lippmann_schwinger_tpu.models import bump3d
     from fast_solver_lippmann_schwinger_tpu.utils.timing import PhaseTimer
+    from fast_solver_lippmann_schwinger_tpu.utils.host import fetch
 
     dtype = jnp.complex128 if args.x64 else jnp.complex64
     timer = PhaseTimer()
@@ -41,8 +42,8 @@ def main():
     with timer.phase("solve"):
         u, info = bump3d.solve(problem)
         u.block_until_ready()
-    res = np.asarray(info.residuals)
-    print(f"iterations: {int(info.n_iterations)}")
+    res = fetch(info.residuals)
+    print(f"iterations: {int(fetch(info.n_iterations)[()])}")
     print("residuals:", res[res > 0])
     timer.log(grid=problem.grid.shape, k=problem.k)
 

@@ -35,6 +35,7 @@ def main():
 
     from fast_solver_lippmann_schwinger_tpu.models import plasma2d
     from fast_solver_lippmann_schwinger_tpu.utils.timing import PhaseTimer
+    from fast_solver_lippmann_schwinger_tpu.utils.host import fetch
 
     dtype = jnp.complex128 if args.x64 else jnp.complex64
     timer = PhaseTimer()
@@ -50,9 +51,9 @@ def main():
             u.block_until_ready()
         print(
             f"direction {direction}: iterations to convergence = "
-            f"{int(info.n_iterations)}"
+            f"{int(fetch(info.n_iterations)[()])}"
         )
-        res = np.asarray(info.residuals)
+        res = fetch(info.residuals)
         print("residual history:", res[res > 0])
     timer.log(grid=problem.grid.shape, k=problem.k, n_subs=args.subs)
 
