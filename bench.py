@@ -66,7 +66,8 @@ def measure_apply(h=1.0 / 800.0, dtype_name="complex64", iters=20,
     n1, n2 = iters, 5 * iters
     chain1 = jax.jit(lambda o, v: chain(o, v, n1))
     chain2 = jax.jit(lambda o, v: chain(o, v, n2))
-    u = jnp.asarray(np.exp(1j * k * X.ravel()), dtype=dtype)
+    from fast_solver_lippmann_schwinger_tpu.utils.host import to_device_complex
+    u = to_device_complex(np.exp(1j * k * X.ravel()), dtype)
     run_synced(chain1, op, u)  # warmup/compile + first-fetch latency
     run_synced(chain2, op, u)
     t0 = time.perf_counter()

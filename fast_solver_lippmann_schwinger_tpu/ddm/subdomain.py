@@ -30,6 +30,7 @@ from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
     factor_stencil_2d,
 )
 from fast_solver_lippmann_schwinger_tpu.sparse.stencil_matrix import StencilMatrix2D
+from fast_solver_lippmann_schwinger_tpu.utils.host import to_device_complex
 from fast_solver_lippmann_schwinger_tpu.sparse.stencils import (
     _assemble_fields,
     build_annihilator_classes,
@@ -260,7 +261,7 @@ def build_slab_system(
     cpl_n_np = band_at(ln, 2)
     cpl_np_n = band_at(lnp, 0)
 
-    h_dev = jnp.asarray(h_sten, dtype=dtype)
+    h_dev = to_device_complex(h_sten, dtype)
     fac = jax.vmap(lambda v: factor_stencil_2d(StencilMatrix2D(values=v)))(h_dev)
 
     return SlabSystem(
@@ -280,10 +281,10 @@ def build_slab_system(
         m=m,
         n_subs=S,
         m1_max=m1_max,
-        cpl_01=jnp.asarray(cpl_01, dtype=dtype),
-        cpl_10=jnp.asarray(cpl_10, dtype=dtype),
-        cpl_n_np=jnp.asarray(cpl_n_np, dtype=dtype),
-        cpl_np_n=jnp.asarray(cpl_np_n, dtype=dtype),
+        cpl_01=to_device_complex(cpl_01, dtype),
+        cpl_10=to_device_complex(cpl_10, dtype),
+        cpl_n_np=to_device_complex(cpl_n_np, dtype),
+        cpl_np_n=to_device_complex(cpl_np_n, dtype),
     )
 
 

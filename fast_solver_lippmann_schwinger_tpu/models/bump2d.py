@@ -32,6 +32,7 @@ from fast_solver_lippmann_schwinger_tpu.precond.sparsifying import (
 )
 from fast_solver_lippmann_schwinger_tpu.solver.gmres import gmres
 from fast_solver_lippmann_schwinger_tpu.sparse import stencils
+from fast_solver_lippmann_schwinger_tpu.utils.host import to_device_complex
 
 
 @dataclasses.dataclass
@@ -69,10 +70,10 @@ def build_problem(
         precond = SparsifyingPreconditioner.build(msp, a_st)
 
     dx, dy = incident_direction
-    u_inc = jnp.asarray(
-        np.exp(1j * k * (dx * X.ravel() + dy * Y.ravel())), dtype=dtype
+    u_inc = to_device_complex(
+        np.exp(1j * k * (dx * X.ravel() + dy * Y.ravel())), dtype
     )
-    rhs = -(k ** 2) * op.convolve(jnp.asarray(nu.ravel(), dtype=dtype) * u_inc)
+    rhs = -(k ** 2) * op.convolve(to_device_complex(nu.ravel(), dtype) * u_inc)
     return Bump2DProblem(grid=grid, k=k, op=op, precond=precond, rhs=rhs, u_inc=u_inc)
 
 

@@ -24,6 +24,7 @@ from fast_solver_lippmann_schwinger_tpu.precond.sparsifying import (
 )
 from fast_solver_lippmann_schwinger_tpu.solver.gmres import gmres
 from fast_solver_lippmann_schwinger_tpu.sparse import stencils
+from fast_solver_lippmann_schwinger_tpu.utils.host import to_device_complex
 
 
 @dataclasses.dataclass
@@ -56,7 +57,7 @@ def build_problem(
         msp = stencils.build_msp_3d(a_st, ag_st, nu, k)
         precond = SparsifyingPreconditioner3D.build(msp, a_st)
 
-    u_inc = jnp.asarray(np.exp(1j * k * X.ravel()), dtype=dtype)
+    u_inc = to_device_complex(np.exp(1j * k * X.ravel()), dtype)
     rhs = -(op.apply(u_inc) - u_inc)
     return Bump3DProblem(
         grid=grid, k=k, op=op, precond=precond, rhs=rhs, u_inc=u_inc

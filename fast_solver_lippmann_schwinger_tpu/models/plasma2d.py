@@ -24,6 +24,7 @@ from fast_solver_lippmann_schwinger_tpu.ops.fastconv import (
 )
 from fast_solver_lippmann_schwinger_tpu.solver.gmres import gmres
 from fast_solver_lippmann_schwinger_tpu.sparse import stencils
+from fast_solver_lippmann_schwinger_tpu.utils.host import to_device_complex
 
 
 @dataclasses.dataclass
@@ -72,8 +73,8 @@ def solve(problem: Plasma2DProblem, incident_direction=(1.0, 0.0),
     X, Y = problem.grid.mesh()
     dx, dy = incident_direction
     dtype = problem.op.symbol.dtype
-    u_inc = jnp.asarray(
-        np.exp(1j * problem.k * (dx * X.ravel() + dy * Y.ravel())), dtype=dtype
+    u_inc = to_device_complex(
+        np.exp(1j * problem.k * (dx * X.ravel() + dy * Y.ravel())), dtype
     )
     rhs = -(problem.op.apply(u_inc) - u_inc)
     return gmres(

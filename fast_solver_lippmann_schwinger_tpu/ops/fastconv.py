@@ -32,6 +32,7 @@ from flax import struct
 
 from fast_solver_lippmann_schwinger_tpu.config import QuadRule
 from fast_solver_lippmann_schwinger_tpu.ops import greens
+from fast_solver_lippmann_schwinger_tpu.utils.host import to_device_complex
 
 
 @struct.dataclass
@@ -157,7 +158,7 @@ def build_fast_convolution_2d(
 
     real_dtype = jnp.float64 if dtype == jnp.complex128 else jnp.float32
     return LippmannSchwinger2D(
-        symbol=jnp.asarray(sym, dtype=dtype),
+        symbol=to_device_complex(sym, dtype),
         nu=jnp.asarray(nu_arr, dtype=real_dtype),
         omega=float(k),
         n=n,
@@ -195,7 +196,7 @@ def build_fast_convolution_3d(
     )
     real_dtype = jnp.float64 if dtype == jnp.complex128 else jnp.float32
     return LippmannSchwinger3D(
-        symbol=jnp.asarray(sym, dtype=dtype),
+        symbol=to_device_complex(sym, dtype),
         nu=jnp.asarray(nu_arr, dtype=real_dtype),
         omega=float(k),
         n=n,

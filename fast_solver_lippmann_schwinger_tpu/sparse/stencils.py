@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fast_solver_lippmann_schwinger_tpu.ops import greens
+from fast_solver_lippmann_schwinger_tpu.utils.host import to_device_complex
 from fast_solver_lippmann_schwinger_tpu.sparse.stencil_matrix import (
     StencilMatrix2D,
     StencilMatrix3D,
@@ -134,8 +135,9 @@ def _sampler_2d_trapezoidal(k, X, Y, d0, h):
 
 def _sampler_conv(op):
     from fast_solver_lippmann_schwinger_tpu.ops.fastconv import sample_g_columns
+    from fast_solver_lippmann_schwinger_tpu.utils.host import fetch
 
-    return lambda idx: np.asarray(sample_g_columns(op, idx), dtype=np.complex128)
+    return lambda idx: fetch(sample_g_columns(op, idx)).astype(np.complex128)
 
 
 def build_sparse_a_ag_2d(
@@ -168,8 +170,8 @@ def build_sparse_a_ag_2d(
     classes = build_annihilator_classes(sampler, (m, n))
     a_field, ag_field = _assemble_fields(classes, (m, n))
     return (
-        StencilMatrix2D(values=jnp.asarray(a_field, dtype=dtype)),
-        StencilMatrix2D(values=jnp.asarray(ag_field, dtype=dtype)),
+        StencilMatrix2D(values=to_device_complex(a_field, dtype)),
+        StencilMatrix2D(values=to_device_complex(ag_field, dtype)),
     )
 
 
@@ -181,7 +183,7 @@ def build_sparse_a_2d(k, x, y, h, d0=None, conv_op=None, dtype=jnp.complex64):
 
 def build_msp_2d(a: StencilMatrix2D, ag: StencilMatrix2D, nu, k: float):
     """``Msp = A + k^2 (A G) diag(nu)`` (``examples/example.jl:67``)."""
-    nu_arr = jnp.asarray(np.asarray(nu), dtype=a.values.dtype)
+    nu_arr = to_device_complex(np.asarray(nu), a.values.dtype)
     return a + (k ** 2) * ag.scale_columns(nu_arr)
 
 
@@ -202,11 +204,11 @@ def build_sparse_a_ag_3d(
     classes = build_annihilator_classes(sampler, shape)
     a_field, ag_field = _assemble_fields(classes, shape)
     return (
-        StencilMatrix3D(values=jnp.asarray(a_field, dtype=dtype)),
-        StencilMatrix3D(values=jnp.asarray(ag_field, dtype=dtype)),
+        StencilMatrix3D(values=to_device_complex(a_field, dtype)),
+        StencilMatrix3D(values=to_device_complex(ag_field, dtype)),
     )
 
 
 def build_msp_3d(a: StencilMatrix3D, ag: StencilMatrix3D, nu, k: float):
-    nu_arr = jnp.asarray(np.asarray(nu), dtype=a.values.dtype)
+    nu_arr = to_device_complex(np.asarray(nu), a.values.dtype)
     return a + (k ** 2) * ag.scale_columns(nu_arr)

@@ -22,7 +22,7 @@ def test_pipelined_sweep_matches_single_device():
     n_dev = min(4, len(jax.devices()))
     if n_dev < 2:
         pytest.skip("needs >= 2 devices")
-    grid = Grid2D(a=1.0, h=1.0 / 48.0)
+    grid = Grid2D(a=1.0, h=1.0 / 36.0)
     k = 1.0 / grid.h
     X, Y = grid.mesh()
     nu = media.gaussian_bump_2d(X, Y)

@@ -21,7 +21,7 @@ from fast_solver_lippmann_schwinger_tpu.sparse import stencils
 
 @pytest.fixture(scope="module")
 def slab_setup():
-    grid = Grid2D(a=1.0, h=1.0 / 48.0)
+    grid = Grid2D(a=1.0, h=1.0 / 36.0)
     k = 1.0 / grid.h
     X, Y = grid.mesh()
     nu = media.gaussian_bump_2d(X, Y)
