@@ -19,7 +19,7 @@ import time
 
 
 def measure_apply(h=1.0 / 800.0, dtype_name="complex64", iters=20,
-                  platform=None):
+                  platform=None, ne=None):
     import jax
 
     if platform is not None:
@@ -40,9 +40,25 @@ def measure_apply(h=1.0 / 800.0, dtype_name="complex64", iters=20,
     k = 1.0 / h
     X, Y = grid.mesh()
     nu = media.plasma_2d(X, Y)
-    op = build_fast_convolution_2d(
-        grid.x, grid.y, h, k, nu, quad_rule="greengard_vico", dtype=dtype
-    )
+    if ne is not None:
+        from fast_solver_lippmann_schwinger_tpu.ops import greens
+        from fast_solver_lippmann_schwinger_tpu.ops.fastconv import (
+            LippmannSchwinger2D,
+        )
+        from fast_solver_lippmann_schwinger_tpu.utils.host import (
+            to_device_complex,
+        )
+
+        sym, _, _ = greens.gv_symbol_2d(grid.n, grid.m, h, k, ne=ne, me=ne)
+        op = LippmannSchwinger2D(
+            symbol=to_device_complex(sym, dtype),
+            nu=jnp.asarray(nu, jnp.float32),
+            omega=k, n=grid.n, m=grid.m, quad_rule="greengard_vico",
+        )
+    else:
+        op = build_fast_convolution_2d(
+            grid.x, grid.y, h, k, nu, quad_rule="greengard_vico", dtype=dtype
+        )
 
     # The operator pytree is an explicit argument (closure-captured device
     # arrays would be lowered as giant constants, which some backends
@@ -81,12 +97,16 @@ def measure_apply(h=1.0 / 800.0, dtype_name="complex64", iters=20,
 
 
 def main():
+    ne = None
+    for arg in sys.argv[1:]:
+        if arg.startswith("--ne="):
+            ne = int(arg.split("=")[1])
     if "--cpu-probe" in sys.argv:
         gpps, dt, npts = measure_apply(iters=5, platform="cpu")
         print(json.dumps({"gpps": gpps}))
         return
 
-    gpps, dt, npts = measure_apply()
+    gpps, dt, npts = measure_apply(ne=ne)
     print(
         f"[bench] apply: {dt*1e3:.2f} ms on {npts} pts "
         f"({gpps/1e9:.3f} G gridpoints/s)",

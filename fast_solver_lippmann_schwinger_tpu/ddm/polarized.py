@@ -284,6 +284,22 @@ def precond_gauss_seidel(slabs: SlabSystem, v: jnp.ndarray, n_it: int) -> jnp.nd
     return jnp.concatenate([u_down, u_up])
 
 
+def precond_jacobi(slabs: SlabSystem, v: jnp.ndarray, n_it: int) -> jnp.ndarray:
+    """Block-Jacobi on the polarized system (``PrecondJacobi``,
+    ``src/integral_preconditioner.jl:32-55``): both halves are relaxed
+    against the PREVIOUS iterate instead of chaining down->up."""
+    half = v.shape[0] // 2
+    vdown_rhs, vup_rhs = v[:half], v[half:]
+
+    u_down = apply_dinv_down(slabs, vdown_rhs)
+    u_up = apply_dinv_up(slabs, vup_rhs)
+    for _ in range(n_it - 1):
+        new_down = apply_dinv_down(slabs, vdown_rhs - apply_u_coupling(slabs, u_up))
+        new_up = apply_dinv_up(slabs, vup_rhs - apply_l_coupling(slabs, u_down))
+        u_down, u_up = new_down, new_up
+    return jnp.concatenate([u_down, u_up])
+
+
 def extract_rhs_traces(slabs: SlabSystem, b: jnp.ndarray):
     """Local solves of the partitioned source + boundary-trace extraction
     (``extractRHS``/``extractFullBoundaryData``, ``src/subdomains.jl:309-359``).
@@ -343,6 +359,7 @@ class PolarizedTracesPreconditioner:
     n_it: int = struct.field(pytree_node=False, default=2)
     inner_tol: float = struct.field(pytree_node=False, default=1e-2)
     inner_maxiter: int = struct.field(pytree_node=False, default=40)
+    precond_type: str = struct.field(pytree_node=False, default="GS")
 
     def apply(self, b: jnp.ndarray) -> jnp.ndarray:
         slabs = self.slabs
@@ -353,7 +370,10 @@ class PolarizedTracesPreconditioner:
         f0 = _interface_vector(slabs, u_np, u_0)
         f_pol = -jnp.concatenate([f1, f0])
 
-        precond = lambda v: precond_gauss_seidel(
+        inner_precond = (
+            precond_gauss_seidel if self.precond_type == "GS" else precond_jacobi
+        )
+        precond = lambda v: inner_precond(
             slabs, permute_to_pairs(slabs, v), self.n_it
         )
         u_pol, _info = gmres(
