@@ -22,6 +22,14 @@ def measure_apply(h=1.0 / 800.0, dtype_name="complex64", iters=20,
                   platform=None, ne=None):
     import jax
 
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001
+        pass
     if platform is not None:
         # env vars alone don't survive the container's sitecustomize, which
         # force-registers the TPU plugin; the config update out-ranks it

@@ -148,6 +148,7 @@ def build_sparse_a_ag_2d(
     d0: complex | None = None,
     conv_op=None,
     dtype=jnp.complex64,
+    cache_dir: str | None = None,
 ):
     """Build the annihilator ``A`` and product ``A G`` as stencil fields.
 
@@ -160,15 +161,41 @@ def build_sparse_a_ag_2d(
     Returns (A, AG) as ``StencilMatrix2D``.
     """
     n, m = len(x), len(y)
+    if conv_op is None and d0 is None:
+        d0 = greens.duan_rokhlin_d0(k * h)
+    cache_path = None
+    if cache_dir is not None:
+        from fast_solver_lippmann_schwinger_tpu.utils import checkpoint
+        import os
+
+        key = checkpoint.config_key(
+            kind="a_ag_2d", k=k, h=h, n=n, m=m,
+            sampling=(
+                f"conv_{conv_op.quad_rule}_{conv_op.symbol.shape}"
+                if conv_op is not None
+                else "d0"
+            ),
+            d0=str(d0),
+        )
+        cache_path = os.path.join(cache_dir, f"stencils_{key}.npz")
+        cached = checkpoint.load_arrays(cache_path)
+        if cached is not None and len(cached) == 2:
+            return (
+                StencilMatrix2D(values=to_device_complex(cached[0], dtype)),
+                StencilMatrix2D(values=to_device_complex(cached[1], dtype)),
+            )
+
     X, Y = np.meshgrid(np.asarray(x), np.asarray(y), indexing="xy")
     if conv_op is None:
-        if d0 is None:
-            d0 = greens.duan_rokhlin_d0(k * h)
         sampler = _sampler_2d_trapezoidal(k, X, Y, d0, h)
     else:
         sampler = _sampler_conv(conv_op)
     classes = build_annihilator_classes(sampler, (m, n))
     a_field, ag_field = _assemble_fields(classes, (m, n))
+    if cache_path is not None:
+        from fast_solver_lippmann_schwinger_tpu.utils import checkpoint
+
+        checkpoint.save_arrays(cache_path, [a_field, ag_field])
     return (
         StencilMatrix2D(values=to_device_complex(a_field, dtype)),
         StencilMatrix2D(values=to_device_complex(ag_field, dtype)),
