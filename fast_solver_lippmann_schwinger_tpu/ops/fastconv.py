@@ -149,12 +149,12 @@ def build_fast_convolution_2d(
             ne=None if pad_to_friendly else 2 * n - 1,
             me=None if pad_to_friendly else 2 * m - 1,
         )
+    elif pad_to_friendly:
+        # exact compact re-embedding of the GV quadrature: ~2n extended grid
+        # instead of 4n (see greens.gv_compact_kernel_2d)
+        sym, ne, me = greens.gv_compact_kernel_2d(n, m, h, k)
     else:
-        sym, ne, me = greens.gv_symbol_2d(
-            n, m, h, k,
-            ne=greens.good_fft_size(4 * n) if pad_to_friendly else 4 * n,
-            me=greens.good_fft_size(4 * m) if pad_to_friendly else 4 * m,
-        )
+        sym, ne, me = greens.gv_symbol_2d(n, m, h, k, ne=4 * n, me=4 * m)
 
     real_dtype = jnp.float64 if dtype == jnp.complex128 else jnp.float32
     return LippmannSchwinger2D(
@@ -188,12 +188,12 @@ def build_fast_convolution_3d(
     Z, Y, X = np.meshgrid(np.asarray(z), np.asarray(y), np.asarray(x), indexing="ij")
     nu_arr = nu(X, Y, Z) if callable(nu) else np.asarray(nu).reshape(l, m, n)
 
-    sym, ne, me, le = greens.gv_symbol_3d(
-        n, m, l, h, k,
-        ne=greens.good_fft_size(4 * n) if pad_to_friendly else 4 * n,
-        me=greens.good_fft_size(4 * m) if pad_to_friendly else 4 * m,
-        le=greens.good_fft_size(4 * l) if pad_to_friendly else 4 * l,
-    )
+    if pad_to_friendly:
+        sym, ne, me, le = greens.gv_compact_kernel_3d(n, m, l, h, k)
+    else:
+        sym, ne, me, le = greens.gv_symbol_3d(
+            n, m, l, h, k, ne=4 * n, me=4 * m, le=4 * l
+        )
     real_dtype = jnp.float64 if dtype == jnp.complex128 else jnp.float32
     return LippmannSchwinger3D(
         symbol=to_device_complex(sym, dtype),

@@ -197,6 +197,39 @@ def gv_symbol_2d(n: int, m: int, h: float, k: float,
     return np.fft.ifftshift(sym_shifted), ne, me
 
 
+def gv_compact_kernel_2d(n: int, m: int, h: float, k: float,
+                         ne: int | None = None, me: int | None = None,
+                         truncation_factor: float = 1.5):
+    """Greengard-Vico quadrature on a compact (~2n) extended grid.
+
+    The GV spectral apply on the 4n grid (``gv_symbol_2d``) realizes a
+    discrete convolution whose real-space taps at grid displacements are the
+    inverse FFT of the symbol.  Since every displacement between points of
+    the n-grid lies within the (2n-1)^2 table — and the truncated kernel's
+    support radius L = 1.5 n h covers the maximal in-grid distance
+    sqrt(2) (n-1) h — extracting that table and re-embedding it in a
+    circulant of any size >= 2n-1 applies the EXACT same operator with
+    ~2.5x fewer FFT points (8x in 3D) and power-of-two-friendly sizes.
+
+    Returns (symbol (me, ne) complex128 in unshifted order, ne, me).
+    """
+    full, ne4, me4 = gv_symbol_2d(
+        n, m, h, k, truncation_factor=truncation_factor
+    )
+    kern = np.fft.ifft2(full)                 # real-space taps, periodic 4n
+    dx = np.arange(-(n - 1), n) % ne4
+    dy = np.arange(-(m - 1), m) % me4
+    tab = kern[np.ix_(dy, dx)]                # (2m-1, 2n-1) displacement table
+
+    ne = good_fft_size(2 * n - 1) if ne is None else ne
+    me = good_fft_size(2 * m - 1) if me is None else me
+    circ = np.zeros((me, ne), dtype=np.complex128)
+    iy = (np.arange(2 * m - 1) - (m - 1)) % me
+    ix = (np.arange(2 * n - 1) - (n - 1)) % ne
+    circ[np.ix_(iy, ix)] = tab
+    return np.fft.fft2(circ), ne, me
+
+
 def gv_symbol_3d(n: int, m: int, l: int, h: float, k: float,
                  ne: int | None = None, me: int | None = None,
                  le: int | None = None,
@@ -219,6 +252,34 @@ def gv_symbol_3d(n: int, m: int, l: int, h: float, k: float,
     )
     sym_shifted = gtruncated_3d(L, k, s)
     return np.fft.ifftshift(sym_shifted), ne, me, le
+
+
+def gv_compact_kernel_3d(n: int, m: int, l: int, h: float, k: float,
+                         truncation_factor: float = 1.8):
+    """3D compact GV embedding (see :func:`gv_compact_kernel_2d`): the
+    support radius 1.8 n h covers sqrt(3) (n-1) h, so the (2n-1)^3 tap table
+    is complete and the extended grid shrinks from (4n)^3 to ~(2n)^3.
+
+    Returns (symbol (le, me, ne) complex128 unshifted, ne, me, le).
+    """
+    full, ne4, me4, le4 = gv_symbol_3d(
+        n, m, l, h, k, truncation_factor=truncation_factor
+    )
+    kern = np.fft.ifftn(full)
+    dx = np.arange(-(n - 1), n) % ne4
+    dy = np.arange(-(m - 1), m) % me4
+    dz = np.arange(-(l - 1), l) % le4
+    tab = kern[np.ix_(dz, dy, dx)]
+
+    ne = good_fft_size(2 * n - 1)
+    me = good_fft_size(2 * m - 1)
+    le = good_fft_size(2 * l - 1)
+    circ = np.zeros((le, me, ne), dtype=np.complex128)
+    ix = (np.arange(2 * n - 1) - (n - 1)) % ne
+    iy = (np.arange(2 * m - 1) - (m - 1)) % me
+    iz = (np.arange(2 * l - 1) - (l - 1)) % le
+    circ[np.ix_(iz, iy, ix)] = tab
+    return np.fft.fftn(circ), ne, me, le
 
 
 # -----------------------------------------------------------------------------

@@ -82,23 +82,23 @@ def test_gv_close_to_trapezoidal(small_problem):
     assert rel < 5e-2
 
 
-def test_gv_padding_invariance(small_problem):
+def test_gv_compact_embedding_is_exact(small_problem):
+    """The compact ~2n re-embedding of the GV quadrature must reproduce the
+    reference 4n-grid spectral apply to roundoff (same discrete operator)."""
     grid, k, X, Y, nu = small_problem
     kwargs = dict(quad_rule="greengard_vico", dtype=jnp.complex128)
     op_exact = build_fast_convolution_2d(
         grid.x, grid.y, grid.h, k, nu, pad_to_friendly=False, **kwargs
     )
-    op_padded = build_fast_convolution_2d(
+    op_compact = build_fast_convolution_2d(
         grid.x, grid.y, grid.h, k, nu, pad_to_friendly=True, **kwargs
     )
+    assert op_compact.symbol.shape[0] < op_exact.symbol.shape[0]
     rng = np.random.default_rng(2)
     u = jnp.asarray(rng.standard_normal(grid.size) + 1j * rng.standard_normal(grid.size))
     a = np.asarray(op_exact.apply(u))
-    b = np.asarray(op_padded.apply(u))
-    # padding changes the GV quadrature grid slightly (a finer k-grid for the
-    # same truncated kernel): agreement to quadrature accuracy
-    rel = np.linalg.norm(a - b) / np.linalg.norm(a)
-    assert rel < 1e-3
+    b = np.asarray(op_compact.apply(u))
+    np.testing.assert_allclose(b, a, rtol=1e-11, atol=1e-11)
 
 
 def test_sample_g_columns_matches_dense(small_problem):
