@@ -150,6 +150,70 @@ def apply_mm(slabs: SlabSystem, u_pol: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([mu1, mu0])
 
 
+def apply_m_down(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
+    """Down-polarized block (``applyMdown``, ``src/subdomains.jl:587-616``)."""
+    v0, v1, vN, vNp = _devectorize(slabs, u_gamma)
+    zero = jnp.zeros_like(v0)
+    _, u1_full, _, _ = block_apply(slabs, v0, v1, vN, vNp)
+    _, _, uN_zero, _ = block_apply(slabs, v0, v1, zero, zero)
+    upper = jnp.where(
+        jnp.arange(slabs.n_subs)[:, None] == 0, -vN, uN_zero - vN
+    )
+    return _interface_vector(slabs, upper, u1_full - v1)
+
+
+def apply_m_up(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
+    """Up-polarized block (``applyMup``, ``src/subdomains.jl:555-585``)."""
+    v0, v1, vN, vNp = _devectorize(slabs, u_gamma)
+    zero = jnp.zeros_like(v0)
+    _, u1_zero, _, _ = block_apply(slabs, zero, zero, vN, vNp)
+    _, _, uN_full, _ = block_apply(slabs, v0, v1, vN, vNp)
+    lower = jnp.where(
+        jnp.arange(slabs.n_subs)[:, None] == slabs.n_subs - 1,
+        -v1,
+        u1_zero - v1,
+    )
+    return _interface_vector(slabs, uN_full - vN, lower)
+
+
+def apply_m0_down(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
+    """Down block of the second polarized row (``applyM0down``,
+    ``src/subdomains.jl:652-681``)."""
+    v0, v1, vN, vNp = _devectorize(slabs, u_gamma)
+    zero = jnp.zeros_like(v0)
+    u0_full, _, _, _ = block_apply(slabs, v0, v1, vN, vNp)
+    _, _, _, uNp_zero = block_apply(slabs, v0, v1, zero, zero)
+    return _interface_vector(slabs, uNp_zero - vNp, u0_full)
+
+
+def apply_m0_up(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
+    """Up block of the second polarized row (``applyM0up``,
+    ``src/subdomains.jl:618-650``)."""
+    v0, v1, vN, vNp = _devectorize(slabs, u_gamma)
+    zero = jnp.zeros_like(v0)
+    u0_zero, _, _, _ = block_apply(slabs, zero, zero, vN, vNp)
+    _, _, _, uNp_full = block_apply(slabs, v0, v1, vN, vNp)
+    lower = jnp.where(
+        jnp.arange(slabs.n_subs)[:, None] == slabs.n_subs - 1,
+        -v0,
+        u0_zero - v0,
+    )
+    return _interface_vector(slabs, uNp_full, lower)
+
+
+def apply_mm_plain(slabs: SlabSystem, u_pol: jnp.ndarray) -> jnp.ndarray:
+    """The polarized system from its four quadrants (``applyMM``,
+    ``src/subdomains.jl:683-693``); agrees with :func:`apply_mm`."""
+    half = u_pol.shape[0] // 2
+    u_down, u_up = u_pol[:half], u_pol[half:]
+    return jnp.concatenate(
+        [
+            apply_m_down(slabs, u_down) + apply_m_up(slabs, u_up),
+            apply_m0_down(slabs, u_down) + apply_m0_up(slabs, u_up),
+        ]
+    )
+
+
 def apply_u_coupling(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
     """``applyU`` (``src/subdomains.jl:817-845``)."""
     v0, v1, vN, vNp = _devectorize(slabs, u_gamma)

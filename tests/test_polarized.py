@@ -68,6 +68,16 @@ def test_devectorize_interface_roundtrip(setup):
     np.testing.assert_allclose(np.asarray(back), np.asarray(u))
 
 
+def test_mm_quadrants_match_optimized(setup):
+    """The composite 2-RHS ``apply_mm`` must equal the four-quadrant plain
+    assembly (reference ``applyMM`` vs ``applyMMOptUmf``)."""
+    grid, k, X, nu, op, a_st, slabs = setup
+    u = _random_trace(slabs, 11, factor=4)
+    a = np.asarray(polarized.apply_mm(slabs, u))
+    b = np.asarray(polarized.apply_mm_plain(slabs, u))
+    np.testing.assert_allclose(b, a, rtol=1e-9, atol=1e-10)
+
+
 def test_inner_trace_system_converges(setup):
     """GMRES on MM with the GS trace preconditioner converges quickly
     (the reference records the inner iteration count as its oracle)."""
