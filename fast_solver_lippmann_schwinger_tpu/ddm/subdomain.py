@@ -262,7 +262,9 @@ def build_slab_system(
     cpl_np_n = band_at(lnp, 0)
 
     h_dev = to_device_complex(h_sten, dtype)
-    fac = jax.vmap(lambda v: factor_stencil_2d(StencilMatrix2D(values=v)))(h_dev)
+    fac = jax.jit(
+        jax.vmap(lambda v: factor_stencil_2d(StencilMatrix2D(values=v)))
+    )(h_dev)
 
     return SlabSystem(
         h_stencils=h_dev,

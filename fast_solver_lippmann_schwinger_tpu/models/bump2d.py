@@ -73,16 +73,22 @@ def build_problem(
     u_inc = to_device_complex(
         np.exp(1j * k * (dx * X.ravel() + dy * Y.ravel())), dtype
     )
-    rhs = -(k ** 2) * op.convolve(to_device_complex(nu.ravel(), dtype) * u_inc)
+    rhs = jax.jit(lambda o, s: -(k ** 2) * o.convolve(s))(
+        op, to_device_complex(nu.ravel(), dtype) * u_inc
+    )
     return Bump2DProblem(grid=grid, k=k, op=op, precond=precond, rhs=rhs, u_inc=u_inc)
 
 
 def solve(problem: Bump2DProblem, rtol: float = 1e-8, restart: int = 20,
           maxiter: int = 200, preconditioned: bool = True):
     """Run GMRES; returns (scattered field u, GMRESInfo)."""
-    precond = problem.precond.apply if (preconditioned and problem.precond) else None
-    matvec = problem.op.apply
-    return gmres(
-        matvec, problem.rhs, preconditioner=precond,
-        rtol=rtol, restart=restart, maxiter=maxiter,
-    )
+    if preconditioned and problem.precond is not None:
+        fn = jax.jit(lambda op, pc, rhs: gmres(
+            op.apply, rhs, preconditioner=pc.apply,
+            rtol=rtol, restart=restart, maxiter=maxiter,
+        ))
+        return fn(problem.op, problem.precond, problem.rhs)
+    fn = jax.jit(lambda op, rhs: gmres(
+        op.apply, rhs, rtol=rtol, restart=restart, maxiter=maxiter,
+    ))
+    return fn(problem.op, problem.rhs)

@@ -10,6 +10,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -58,7 +59,7 @@ def build_problem(
         precond = SparsifyingPreconditioner3D.build(msp, a_st)
 
     u_inc = to_device_complex(np.exp(1j * k * X.ravel()), dtype)
-    rhs = -(op.apply(u_inc) - u_inc)
+    rhs = jax.jit(lambda o, ui: -(o.apply(ui) - ui))(op, u_inc)
     return Bump3DProblem(
         grid=grid, k=k, op=op, precond=precond, rhs=rhs, u_inc=u_inc
     )
@@ -66,8 +67,13 @@ def build_problem(
 
 def solve(problem: Bump3DProblem, rtol: float = 1e-8, restart: int = 20,
           maxiter: int = 100, preconditioned: bool = True):
-    precond = problem.precond.apply if (preconditioned and problem.precond) else None
-    return gmres(
-        problem.op.apply, problem.rhs, preconditioner=precond,
-        rtol=rtol, restart=restart, maxiter=maxiter,
-    )
+    if preconditioned and problem.precond is not None:
+        fn = jax.jit(lambda op, pc, rhs: gmres(
+            op.apply, rhs, preconditioner=pc.apply,
+            rtol=rtol, restart=restart, maxiter=maxiter,
+        ))
+        return fn(problem.op, problem.precond, problem.rhs)
+    fn = jax.jit(lambda op, rhs: gmres(
+        op.apply, rhs, rtol=rtol, restart=restart, maxiter=maxiter,
+    ))
+    return fn(problem.op, problem.rhs)

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -67,8 +68,8 @@ def solve(problem: PlasmaIntegral2DProblem, incident_direction=(1.0, 0.0),
     u_inc = to_device_complex(
         np.exp(1j * problem.k * (dx * X.ravel() + dy * Y.ravel())), dtype
     )
-    rhs = -(problem.op.apply(u_inc) - u_inc)
-    return gmres(
-        problem.op.apply, rhs, preconditioner=problem.precond.apply,
+    fn = jax.jit(lambda op, pc, ui: gmres(
+        op.apply, -(op.apply(ui) - ui), preconditioner=pc.apply,
         rtol=rtol, restart=restart, maxiter=maxiter,
-    )
+    ))
+    return fn(problem.op, problem.precond, u_inc)

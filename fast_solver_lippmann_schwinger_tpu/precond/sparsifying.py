@@ -8,6 +8,7 @@ block-Thomas factorization; ``As * b`` becomes a stencil matvec.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -34,7 +35,9 @@ class SparsifyingPreconditioner:
 
     @classmethod
     def build(cls, msp: StencilMatrix2D, a_s: StencilMatrix2D):
-        return cls(factorization=factor_stencil_2d(msp), a_s=a_s)
+        # jit so the factorization is ONE compiled program (eager dispatch
+        # costs a remote compile per op on the tunnel backend)
+        return cls(factorization=jax.jit(factor_stencil_2d)(msp), a_s=a_s)
 
     def apply(self, b: jnp.ndarray) -> jnp.ndarray:
         return block_thomas_solve(self.factorization, self.a_s.matvec(b))
@@ -50,7 +53,7 @@ class SparsifyingPreconditioner3D:
 
     @classmethod
     def build(cls, msp: StencilMatrix3D, a_s: StencilMatrix3D):
-        return cls(factorization=factor_stencil_3d(msp), a_s=a_s)
+        return cls(factorization=jax.jit(factor_stencil_3d)(msp), a_s=a_s)
 
     def apply(self, b: jnp.ndarray) -> jnp.ndarray:
         return block_thomas_solve_3d(self.factorization, self.a_s.matvec(b))

@@ -26,6 +26,7 @@ from __future__ import annotations
 import itertools
 from typing import Callable, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -211,7 +212,9 @@ def build_sparse_a_2d(k, x, y, h, d0=None, conv_op=None, dtype=jnp.complex64):
 def build_msp_2d(a: StencilMatrix2D, ag: StencilMatrix2D, nu, k: float):
     """``Msp = A + k^2 (A G) diag(nu)`` (``examples/example.jl:67``)."""
     nu_arr = to_device_complex(np.asarray(nu), a.values.dtype)
-    return a + (k ** 2) * ag.scale_columns(nu_arr)
+    return jax.jit(lambda a_, ag_, d: a_ + (k ** 2) * ag_.scale_columns(d))(
+        a, ag, nu_arr
+    )
 
 
 # -----------------------------------------------------------------------------
@@ -238,4 +241,6 @@ def build_sparse_a_ag_3d(
 
 def build_msp_3d(a: StencilMatrix3D, ag: StencilMatrix3D, nu, k: float):
     nu_arr = to_device_complex(np.asarray(nu), a.values.dtype)
-    return a + (k ** 2) * ag.scale_columns(nu_arr)
+    return jax.jit(lambda a_, ag_, d: a_ + (k ** 2) * ag_.scale_columns(d))(
+        a, ag, nu_arr
+    )
