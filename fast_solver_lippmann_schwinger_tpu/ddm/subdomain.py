@@ -154,8 +154,10 @@ def build_slab_system(
     dtype = a_st.values.dtype
     nu = np.asarray(nu).reshape(m, n)
     y = np.asarray(y)
-    a_vals = np.asarray(a_st.values)
-    ag_vals = np.asarray(ag_st.values)
+    from fast_solver_lippmann_schwinger_tpu.utils.host import fetch
+
+    a_vals = fetch(a_st.values)
+    ag_vals = fetch(ag_st.values)
 
     ind1, indn = subdomain_limits(m, n_subs)
     jstart = np.maximum(ind1 - npml, 0)
