@@ -142,6 +142,8 @@ def build_slab_system(
     n_subs: int,
     npml: int = 10,
     shift_factor: float = 2.0,
+    a_host: np.ndarray | None = None,
+    ag_host: np.ndarray | None = None,
 ) -> SlabSystem:
     """Construct and factor all slabs of one sweep direction.
 
@@ -154,10 +156,13 @@ def build_slab_system(
     dtype = a_st.values.dtype
     nu = np.asarray(nu).reshape(m, n)
     y = np.asarray(y)
-    from fast_solver_lippmann_schwinger_tpu.utils.host import fetch
+    if a_host is not None and ag_host is not None:
+        a_vals, ag_vals = np.asarray(a_host), np.asarray(ag_host)
+    else:
+        from fast_solver_lippmann_schwinger_tpu.utils.host import fetch
 
-    a_vals = fetch(a_st.values)
-    ag_vals = fetch(ag_st.values)
+        a_vals = fetch(a_st.values)
+        ag_vals = fetch(ag_st.values)
 
     ind1, indn = subdomain_limits(m, n_subs)
     jstart = np.maximum(ind1 - npml, 0)

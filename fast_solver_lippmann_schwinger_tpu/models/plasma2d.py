@@ -51,15 +51,19 @@ def build_problem(
     op = build_fast_convolution_2d(
         grid.x, grid.y, h, k, nu, quad_rule="greengard_vico", dtype=dtype
     )
-    a_st, ag_st = stencils.build_sparse_a_ag_2d(k, grid.x, grid.y, h, dtype=dtype)
+    a_st, ag_st, a_np, ag_np = stencils.build_sparse_a_ag_2d(
+        k, grid.x, grid.y, h, dtype=dtype, return_host=True
+    )
     msp = stencils.build_msp_2d(a_st, ag_st, nu, k)
 
     slabs = build_slab_system(
-        a_st, ag_st, nu, grid.x, grid.y, h, k, n_subdomains, npml=npml
+        a_st, ag_st, nu, grid.x, grid.y, h, k, n_subdomains, npml=npml,
+        a_host=a_np, ag_host=ag_np,
     )
     slabs_t = build_slab_system(
         a_st.transpose(), ag_st.transpose(), nu.T,
         grid.y, grid.x, h, k, n_subdomains, npml=npml,
+        a_host=a_np.transpose(1, 0, 3, 2), ag_host=ag_np.transpose(1, 0, 3, 2),
     )
     precond = DoubleSweepPreconditioner(
         slabs=slabs, slabs_t=slabs_t, msp=msp, a_s=a_st

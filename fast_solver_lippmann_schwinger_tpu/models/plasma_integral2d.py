@@ -52,9 +52,12 @@ def build_problem(
     op = build_fast_convolution_2d(
         grid.x, grid.y, h, k, nu, quad_rule=quad_rule, dtype=dtype
     )
-    a_st, ag_st = stencils.build_sparse_a_ag_2d(k, grid.x, grid.y, h, dtype=dtype)
+    a_st, ag_st, a_np, ag_np = stencils.build_sparse_a_ag_2d(
+        k, grid.x, grid.y, h, dtype=dtype, return_host=True
+    )
     slabs = build_slab_system(
-        a_st, ag_st, nu, grid.x, grid.y, h, k, n_subdomains, npml=npml
+        a_st, ag_st, nu, grid.x, grid.y, h, k, n_subdomains, npml=npml,
+        a_host=a_np, ag_host=ag_np,
     )
     precond = PolarizedTracesPreconditioner(slabs=slabs, a_s=a_st, n_it=n_it)
     return PlasmaIntegral2DProblem(grid=grid, k=k, op=op, precond=precond)

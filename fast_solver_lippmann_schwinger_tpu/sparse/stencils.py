@@ -150,8 +150,13 @@ def build_sparse_a_ag_2d(
     conv_op=None,
     dtype=jnp.complex64,
     cache_dir: str | None = None,
+    return_host: bool = False,
 ):
     """Build the annihilator ``A`` and product ``A G`` as stencil fields.
+
+    With ``return_host=True`` also returns the host numpy fields
+    ``(A, AG, a_np, ag_np)`` — used by the DDM layer to avoid a device
+    round-trip when building slab systems.
 
     With ``conv_op=None`` uses direct Duan-Rokhlin Hankel sampling
     (``entriesSparseA``/``entriesSparseG`` semantics,
@@ -181,10 +186,11 @@ def build_sparse_a_ag_2d(
         cache_path = os.path.join(cache_dir, f"stencils_{key}.npz")
         cached = checkpoint.load_arrays(cache_path)
         if cached is not None and len(cached) == 2:
-            return (
+            out = (
                 StencilMatrix2D(values=to_device_complex(cached[0], dtype)),
                 StencilMatrix2D(values=to_device_complex(cached[1], dtype)),
             )
+            return out + (cached[0], cached[1]) if return_host else out
 
     X, Y = np.meshgrid(np.asarray(x), np.asarray(y), indexing="xy")
     if conv_op is None:
@@ -197,10 +203,11 @@ def build_sparse_a_ag_2d(
         from fast_solver_lippmann_schwinger_tpu.utils import checkpoint
 
         checkpoint.save_arrays(cache_path, [a_field, ag_field])
-    return (
+    out = (
         StencilMatrix2D(values=to_device_complex(a_field, dtype)),
         StencilMatrix2D(values=to_device_complex(ag_field, dtype)),
     )
+    return out + (a_field, ag_field) if return_host else out
 
 
 def build_sparse_a_2d(k, x, y, h, d0=None, conv_op=None, dtype=jnp.complex64):
