@@ -290,9 +290,8 @@ def apply_dinv_up(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
 
     # interfaces S-3 .. 0 use slabs S-2 .. 1
     xs = dict(_slab_xs_range(slabs, 1, S - 1), g0=g[:-1, 0], g1=g[:-1, 1])
-    xs_rev = jax.tree_util.tree_map(lambda a: a[::-1], xs)
-    _, rest_rev = jax.lax.scan(step, (last[0], last[1]), xs_rev)
-    return jnp.concatenate([rest_rev[::-1], last[None]], axis=0).reshape(-1)
+    _, rest = jax.lax.scan(step, (last[0], last[1]), xs, reverse=True)
+    return jnp.concatenate([rest, last[None]], axis=0).reshape(-1)
 
 
 def apply_d_down(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:

@@ -92,9 +92,10 @@ def gs_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
         return (u_0, u_1), u
 
     xs_up = dict(_slab_xs(slabs), rhs=rhs_down, u_np_above=u_np_above)
-    xs_up_rev = jax.tree_util.tree_map(lambda a: a[::-1], xs_up)
-    (_, _), u_rev = jax.lax.scan(up_step, (zeros_n, zeros_n), xs_up_rev)
-    return gather_interior(slabs, u_rev[::-1])
+    # reverse=True avoids materializing reversed copies of the batched
+    # factorizations (multi-GB at production sizes)
+    (_, _), u = jax.lax.scan(up_step, (zeros_n, zeros_n), xs_up, reverse=True)
+    return gather_interior(slabs, u)
 
 
 def jacobi_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
@@ -153,9 +154,9 @@ def jacobi_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
         return (u_0, u_1), (u_0, u_1)
 
     xs_up = dict(_slab_xs(slabs), t0_init=t0_init, t1_init=t1_init)
-    xs_up_rev = jax.tree_util.tree_map(lambda a: a[::-1], xs_up)
-    (_, _), (u_0_rev, u_1_rev) = jax.lax.scan(up_step, (zeros_n, zeros_n), xs_up_rev)
-    u_0_all, u_1_all = u_0_rev[::-1], u_1_rev[::-1]
+    (_, _), (u_0_all, u_1_all) = jax.lax.scan(
+        up_step, (zeros_n, zeros_n), xs_up, reverse=True
+    )
 
     # final reconstruction: source + down traces from above + up traces from
     # below, one batched solve over all slabs

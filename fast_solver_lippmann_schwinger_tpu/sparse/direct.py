@@ -147,10 +147,9 @@ def block_thomas_solve(fac: BlockTridiagFactorization, b: jnp.ndarray) -> jnp.nd
         return x_j, x_j
 
     x0 = jnp.zeros(bg.shape[1:], dtype=fac.cinv.dtype)
-    _, x_rev = jax.lax.scan(
-        bwd, x0, (y[::-1], fac.uband[::-1], fac.cinv[::-1])
-    )
-    x = x_rev[::-1]
+    # reverse=True iterates back-to-front without materializing reversed
+    # copies of the (potentially multi-GB) pivot arrays
+    _, x = jax.lax.scan(bwd, x0, (y, fac.uband, fac.cinv), reverse=True)
     return x.reshape(orig_shape)
 
 
@@ -256,5 +255,5 @@ def block_thomas_solve_3d(
         return x_k, x_k
 
     x0 = jnp.zeros((mn,), dtype=fac.cinv.dtype)
-    _, x_rev = jax.lax.scan(bwd, x0, (y[::-1], fac.usten[::-1], fac.cinv[::-1]))
-    return x_rev[::-1].reshape(orig_shape)
+    _, x = jax.lax.scan(bwd, x0, (y, fac.usten, fac.cinv), reverse=True)
+    return x.reshape(orig_shape)
