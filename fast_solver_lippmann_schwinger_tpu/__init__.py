@@ -44,6 +44,21 @@ from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
 )
 from fast_solver_lippmann_schwinger_tpu.precond.sparsifying import (
     SparsifyingPreconditioner,
+    SparsifyingPreconditioner3D,
+)
+from fast_solver_lippmann_schwinger_tpu.ddm.subdomain import (
+    SlabSystem,
+    build_slab_system,
+)
+from fast_solver_lippmann_schwinger_tpu.ddm.sweeps import (
+    DoubleSweepPreconditioner,
+    GSPreconditioner,
+    InnerGMRESPreconditioner,
+    gs_sweep,
+    jacobi_sweep,
+)
+from fast_solver_lippmann_schwinger_tpu.ddm.polarized import (
+    PolarizedTracesPreconditioner,
 )
 
 __version__ = "0.1.0"
