@@ -231,14 +231,20 @@ def apply_l_coupling(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
 
 
 def _slab_xs_range(slabs: SlabSystem, lo: int, hi: int):
+    # the factorization is indexed from the loop-invariant ``slabs.fac`` by
+    # the ``idx`` field instead of riding scan xs (avoids multi-GB copies)
     sl = lambda a: a[lo:hi]
     return dict(
-        fac=jax.tree_util.tree_map(sl, slabs.fac),
+        idx=jnp.arange(lo, hi),
         l0=sl(slabs.l0), l1=sl(slabs.l1), ln=sl(slabs.ln), lnp=sl(slabs.lnp),
         has_top=sl(slabs.has_top), has_bot=sl(slabs.has_bot),
         cpl_01=sl(slabs.cpl_01), cpl_10=sl(slabs.cpl_10),
         cpl_n_np=sl(slabs.cpl_n_np), cpl_np_n=sl(slabs.cpl_np_n),
     )
+
+
+def _fac_at(fac, i):
+    return jax.tree_util.tree_map(lambda a: a[i], fac)
 
 
 def apply_dinv_down(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
@@ -254,7 +260,7 @@ def apply_dinv_down(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
     def step(carry, xs):
         vN, vNp = carry
         _, _, tN, tNp = _block_apply_single(
-            slabs, xs["fac"], vN, vNp, zero, zero,
+            slabs, _fac_at(slabs.fac, xs["idx"]), vN, vNp, zero, zero,
             xs["l0"], xs["l1"], xs["ln"], xs["lnp"],
             xs["cpl_01"], xs["cpl_10"], xs["cpl_n_np"], xs["cpl_np_n"],
             xs["has_top"], xs["has_bot"],
@@ -279,7 +285,7 @@ def apply_dinv_up(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
     def step(carry, xs):
         v0, v1 = carry
         t0, t1, _, _ = _block_apply_single(
-            slabs, xs["fac"], zero, zero, v0, v1,
+            slabs, _fac_at(slabs.fac, xs["idx"]), zero, zero, v0, v1,
             xs["l0"], xs["l1"], xs["ln"], xs["lnp"],
             xs["cpl_01"], xs["cpl_10"], xs["cpl_n_np"], xs["cpl_np_n"],
             xs["has_top"], xs["has_bot"],

@@ -33,13 +33,21 @@ from fast_solver_lippmann_schwinger_tpu.sparse.stencil_matrix import StencilMatr
 
 
 def _slab_xs(slabs: SlabSystem):
+    # NOTE: the batched factorization is NOT threaded through scan xs —
+    # scans may materialize copies of their inputs, and the pivot stacks are
+    # multi-GB at production sizes.  Bodies gather the per-slab slice from
+    # the loop-invariant ``slabs.fac`` by index instead.
     return dict(
-        fac=slabs.fac,
+        idx=jnp.arange(slabs.n_subs),
         l0=slabs.l0, l1=slabs.l1, ln=slabs.ln, lnp=slabs.lnp,
         has_top=slabs.has_top, has_bot=slabs.has_bot,
         cpl_01=slabs.cpl_01, cpl_10=slabs.cpl_10,
         cpl_n_np=slabs.cpl_n_np, cpl_np_n=slabs.cpl_np_n,
     )
+
+
+def _fac_at(fac, i):
+    return jax.tree_util.tree_map(lambda a: a[i], fac)
 
 
 def gs_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
@@ -66,7 +74,7 @@ def gs_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
         zero = jnp.zeros_like(add0)
         rhs = rhs.at[xs["l0"]].add(jnp.where(xs["has_top"], add0, zero))
         rhs = rhs.at[xs["l1"]].add(jnp.where(xs["has_top"], add1, zero))
-        v = block_thomas_solve(xs["fac"], rhs)
+        v = block_thomas_solve(_fac_at(slabs.fac, xs["idx"]), rhs)
         u_n = v[xs["ln"]]
         u_np = v[xs["lnp"]]
         return (u_n, u_np), (rhs, u_np)
@@ -86,7 +94,7 @@ def gs_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
         zero = jnp.zeros_like(addnp)
         rhs = rhs.at[xs["lnp"]].add(jnp.where(xs["has_bot"], addnp, zero))
         rhs = rhs.at[xs["ln"]].add(jnp.where(xs["has_bot"], addn, zero))
-        u = block_thomas_solve(xs["fac"], rhs)
+        u = block_thomas_solve(_fac_at(slabs.fac, xs["idx"]), rhs)
         u_0 = u[xs["l0"]]
         u_1 = u[xs["l1"]] - xs["u_np_above"]
         return (u_0, u_1), u
@@ -129,7 +137,10 @@ def jacobi_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
 
     def down_step(carry, xs):
         u_n_prev, u_np_prev = carry
-        t = block_thomas_solve(xs["fac"], trace_rhs_down(xs, u_n_prev, u_np_prev))
+        t = block_thomas_solve(
+            _fac_at(slabs.fac, xs["idx"]),
+            trace_rhs_down(xs, u_n_prev, u_np_prev),
+        )
         u_n = xs["tn_init"] + t[xs["ln"]]
         u_np = xs["tnp_init"] + t[xs["lnp"]]
         return (u_n, u_np), (u_n, u_np)
@@ -148,7 +159,10 @@ def jacobi_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
 
     def up_step(carry, xs):
         u_0_next, u_1_next = carry
-        t = block_thomas_solve(xs["fac"], trace_rhs_up(xs, u_0_next, u_1_next))
+        t = block_thomas_solve(
+            _fac_at(slabs.fac, xs["idx"]),
+            trace_rhs_up(xs, u_0_next, u_1_next),
+        )
         u_0 = xs["t0_init"] + t[xs["l0"]]
         u_1 = xs["t1_init"] + t[xs["l1"]]
         return (u_0, u_1), (u_0, u_1)
