@@ -18,6 +18,8 @@ def main():
     ap.add_argument("--subs", type=int, default=4)
     ap.add_argument("--npml", type=int, default=10)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--single", action="store_true")
+    ap.add_argument("--bf16", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -38,7 +40,9 @@ def main():
 
     t0 = time.time()
     problem = plasma2d.build_problem(
-        h=args.h, n_subdomains=args.subs, npml=args.npml, dtype=jnp.complex64
+        h=args.h, n_subdomains=args.subs, npml=args.npml, dtype=jnp.complex64,
+        double_sweep=not args.single,
+        pivot_dtype="bf16" if args.bf16 else "full",
     )
     print(f"setup dispatched in {time.time()-t0:.1f}s "
           f"(grid {problem.grid.shape}, k={problem.k})", flush=True)

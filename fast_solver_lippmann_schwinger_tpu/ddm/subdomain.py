@@ -144,6 +144,7 @@ def build_slab_system(
     shift_factor: float = 2.0,
     a_host: np.ndarray | None = None,
     ag_host: np.ndarray | None = None,
+    pivot_dtype: str = "full",
 ) -> SlabSystem:
     """Construct and factor all slabs of one sweep direction.
 
@@ -269,9 +270,22 @@ def build_slab_system(
     cpl_np_n = band_at(lnp, 0)
 
     h_dev = to_device_complex(h_sten, dtype)
-    fac = jax.jit(
-        jax.vmap(lambda v: factor_stencil_2d(StencilMatrix2D(values=v)))
-    )(h_dev)
+    if pivot_dtype == "bf16":
+        from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
+            compress_factorization,
+        )
+
+        fac = jax.jit(
+            jax.vmap(
+                lambda v: compress_factorization(
+                    factor_stencil_2d(StencilMatrix2D(values=v))
+                )
+            )
+        )(h_dev)
+    else:
+        fac = jax.jit(
+            jax.vmap(lambda v: factor_stencil_2d(StencilMatrix2D(values=v)))
+        )(h_dev)
 
     return SlabSystem(
         h_stencils=h_dev,

@@ -209,6 +209,22 @@ class GSPreconditioner:
 
 
 @struct.dataclass
+class SingleSweepPreconditioner:
+    """``b -> GS_sweep(As b)`` — one-directional sweep applied to the full
+    LS system (the reference's ``Preconditioner`` with zero inner
+    iterations; half the memory of the double sweep)."""
+
+    slabs: SlabSystem
+    a_s: StencilMatrix2D
+
+    def apply(self, b: jnp.ndarray) -> jnp.ndarray:
+        return gs_sweep(self.slabs, self.a_s.matvec(b))
+
+    def __call__(self, b):
+        return self.apply(b)
+
+
+@struct.dataclass
 class InnerGMRESPreconditioner:
     """Composite preconditioner: inner GMRES on the sparsified system,
     itself preconditioned by a sweep.

@@ -42,7 +42,12 @@ def build_problem(
     n_subdomains: int = 16,
     npml: int = 10,
     dtype=jnp.complex64,
+    double_sweep: bool = True,
+    pivot_dtype: str = "full",
 ) -> Plasma2DProblem:
+    """``double_sweep=False`` uses the single-direction GS sweep composite
+    (reference ``Preconditioner``/``GSPreconditioner`` family) — half the
+    factorization memory, a few more GMRES iterations."""
     grid = Grid2D(a=1.0, h=h)
     k = 1.0 / h
     X, Y = grid.mesh()
@@ -58,16 +63,24 @@ def build_problem(
 
     slabs = build_slab_system(
         a_st, ag_st, nu, grid.x, grid.y, h, k, n_subdomains, npml=npml,
-        a_host=a_np, ag_host=ag_np,
+        a_host=a_np, ag_host=ag_np, pivot_dtype=pivot_dtype,
     )
-    slabs_t = build_slab_system(
-        a_st.transpose(), ag_st.transpose(), nu.T,
-        grid.y, grid.x, h, k, n_subdomains, npml=npml,
-        a_host=a_np.transpose(1, 0, 3, 2), ag_host=ag_np.transpose(1, 0, 3, 2),
-    )
-    precond = DoubleSweepPreconditioner(
-        slabs=slabs, slabs_t=slabs_t, msp=msp, a_s=a_st
-    )
+    if double_sweep:
+        slabs_t = build_slab_system(
+            a_st.transpose(), ag_st.transpose(), nu.T,
+            grid.y, grid.x, h, k, n_subdomains, npml=npml,
+            a_host=a_np.transpose(1, 0, 3, 2),
+            ag_host=ag_np.transpose(1, 0, 3, 2), pivot_dtype=pivot_dtype,
+        )
+        precond = DoubleSweepPreconditioner(
+            slabs=slabs, slabs_t=slabs_t, msp=msp, a_s=a_st
+        )
+    else:
+        from fast_solver_lippmann_schwinger_tpu.ddm.sweeps import (
+            SingleSweepPreconditioner,
+        )
+
+        precond = SingleSweepPreconditioner(slabs=slabs, a_s=a_st)
     return Plasma2DProblem(grid=grid, k=k, op=op, precond=precond, nu=nu)
 
 

@@ -40,6 +40,46 @@ class BlockTridiagFactorization:
     uband: jnp.ndarray   # (m, n, 3)
 
 
+@struct.dataclass
+class BlockTridiagFactorizationBF16:
+    """Memory-compressed variant: pivot inverses stored as bfloat16
+    real/imag planes (half the HBM of complex64).
+
+    Preconditioner applies tolerate the ~3-digit pivots — the outer Krylov
+    iteration absorbs the perturbation (a couple extra iterations at most).
+    Used for production DDM sizes where the full-precision stacks exceed
+    HBM (e.g. the 801x801 double sweep).
+    """
+
+    cinv_re: jnp.ndarray  # (m, n, n) bfloat16
+    cinv_im: jnp.ndarray  # (m, n, n) bfloat16
+    lband: jnp.ndarray    # (m, n, 3) complex
+    uband: jnp.ndarray    # (m, n, 3) complex
+
+
+def compress_factorization(
+    fac: BlockTridiagFactorization,
+) -> BlockTridiagFactorizationBF16:
+    return BlockTridiagFactorizationBF16(
+        cinv_re=jnp.real(fac.cinv).astype(jnp.bfloat16),
+        cinv_im=jnp.imag(fac.cinv).astype(jnp.bfloat16),
+        lband=fac.lband,
+        uband=fac.uband,
+    )
+
+
+def _pivot_apply(fac_slice, y):
+    """``C_j^{-1} @ y`` for either storage format; y (n, ...) complex."""
+    if hasattr(fac_slice, "cinv_re"):
+        re = fac_slice.cinv_re.astype(jnp.float32)
+        im = fac_slice.cinv_im.astype(jnp.float32)
+        yr, yi = jnp.real(y).astype(jnp.float32), jnp.imag(y).astype(jnp.float32)
+        out_r = re @ yr - im @ yi
+        out_i = re @ yi + im @ yr
+        return jax.lax.complex(out_r, out_i).astype(y.dtype)
+    return fac_slice.cinv @ y
+
+
 def band_matvec(band: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Tridiagonal band times vector/matrix: out[i] = sum_d band[i,d] v[i+d-1].
 
@@ -117,7 +157,7 @@ def block_thomas_solve(fac: BlockTridiagFactorization, b: jnp.ndarray) -> jnp.nd
     ``b`` may be flat (m*n,), gridded (m, n), or multi-RHS (m, n, r) /
     (m*n, r); the result matches the input shape.
     """
-    m, n = fac.cinv.shape[0], fac.cinv.shape[1]
+    m, n = fac.lband.shape[0], fac.lband.shape[1]
     orig_shape = b.shape
     if b.ndim == 1:
         bg = b.reshape(m, n)
@@ -128,28 +168,34 @@ def block_thomas_solve(fac: BlockTridiagFactorization, b: jnp.ndarray) -> jnp.nd
     else:
         bg = b
 
-    multi = bg.ndim == 3
+    dtype = fac.lband.dtype
+    # the pivot stack is indexed per line inside the loop bodies rather than
+    # threaded through scan xs: scan xs can make XLA materialize full
+    # (multi-GB) relayout copies of their inputs
+    lines = jnp.arange(m)
 
     def fwd(carry, inp):
         t_prev = carry          # C_{j-1}^{-1} y_{j-1}
-        b_j, lband_j, cinv_j = inp
+        b_j, lband_j, j = inp
         y_j = b_j - band_matvec(lband_j, t_prev)
-        t_j = cinv_j @ y_j if multi else cinv_j @ y_j
+        fac_j = jax.tree_util.tree_map(lambda a: a[j], fac)
+        t_j = _pivot_apply(fac_j, y_j)
         return t_j, y_j
 
-    t0 = jnp.zeros(bg.shape[1:], dtype=fac.cinv.dtype)
-    _, y = jax.lax.scan(fwd, t0, (bg.astype(fac.cinv.dtype), fac.lband, fac.cinv))
+    t0 = jnp.zeros(bg.shape[1:], dtype=dtype)
+    _, y = jax.lax.scan(fwd, t0, (bg.astype(dtype), fac.lband, lines))
 
     def bwd(carry, inp):
         x_next = carry
-        y_j, uband_j, cinv_j = inp
-        x_j = cinv_j @ (y_j - band_matvec(uband_j, x_next))
+        y_j, uband_j, j = inp
+        fac_j = jax.tree_util.tree_map(lambda a: a[j], fac)
+        x_j = _pivot_apply(fac_j, y_j - band_matvec(uband_j, x_next))
         return x_j, x_j
 
-    x0 = jnp.zeros(bg.shape[1:], dtype=fac.cinv.dtype)
+    x0 = jnp.zeros(bg.shape[1:], dtype=dtype)
     # reverse=True iterates back-to-front without materializing reversed
-    # copies of the (potentially multi-GB) pivot arrays
-    _, x = jax.lax.scan(bwd, x0, (y, fac.uband, fac.cinv), reverse=True)
+    # copies of the pivot arrays
+    _, x = jax.lax.scan(bwd, x0, (y, fac.uband, lines), reverse=True)
     return x.reshape(orig_shape)
 
 
