@@ -19,7 +19,7 @@ import time
 
 
 def measure_apply(h=1.0 / 800.0, dtype_name="complex64", iters=20,
-                  platform=None, ne=None):
+                  platform=None, ne=None, compact_ne=None):
     import jax
 
     try:
@@ -48,7 +48,7 @@ def measure_apply(h=1.0 / 800.0, dtype_name="complex64", iters=20,
     k = 1.0 / h
     X, Y = grid.mesh()
     nu = media.plasma_2d(X, Y)
-    if ne is not None:
+    if ne is not None or compact_ne is not None:
         from fast_solver_lippmann_schwinger_tpu.ops import greens
         from fast_solver_lippmann_schwinger_tpu.ops.fastconv import (
             LippmannSchwinger2D,
@@ -57,7 +57,12 @@ def measure_apply(h=1.0 / 800.0, dtype_name="complex64", iters=20,
             to_device_complex,
         )
 
-        sym, _, _ = greens.gv_symbol_2d(grid.n, grid.m, h, k, ne=ne, me=ne)
+        if compact_ne is not None:
+            sym, _, _ = greens.gv_compact_kernel_2d(
+                grid.n, grid.m, h, k, ne=compact_ne, me=compact_ne
+            )
+        else:
+            sym, _, _ = greens.gv_symbol_2d(grid.n, grid.m, h, k, ne=ne, me=ne)
         op = LippmannSchwinger2D(
             symbol=to_device_complex(sym, dtype),
             nu=jnp.asarray(nu, jnp.float32),
@@ -91,30 +96,46 @@ def measure_apply(h=1.0 / 800.0, dtype_name="complex64", iters=20,
     chain1 = jax.jit(lambda o, v: chain(o, v, n1))
     chain2 = jax.jit(lambda o, v: chain(o, v, n2))
     from fast_solver_lippmann_schwinger_tpu.utils.host import to_device_complex
-    u = to_device_complex(np.exp(1j * k * X.ravel()), dtype)
-    run_synced(chain1, op, u)  # warmup/compile + first-fetch latency
-    run_synced(chain2, op, u)
-    t0 = time.perf_counter()
-    run_synced(chain1, op, u * 1.0000001)
-    t1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    run_synced(chain2, op, u * 1.0000002)
-    t2 = time.perf_counter() - t0
+    # Vary inputs between timed runs (the backend may serve identical
+    # (executable, inputs) re-executions from a cache), but prepare every
+    # input on the HOST up front: an eager device multiply inside the timed
+    # region would drag its own remote compile into the measurement.
+    base = np.exp(1j * k * X.ravel())
+    us = [
+        to_device_complex(base * np.exp(1j * 1e-4 * i), dtype)
+        for i in range(5)
+    ]
+    run_synced(chain1, op, us[0])  # warmup/compile + first-fetch latency
+    run_synced(chain2, op, us[1])
+    # median-of-3 per chain length for robustness against fetch jitter
+    t1s, t2s = [], []
+    for i in range(3):
+        t0 = time.perf_counter()
+        run_synced(chain1, op, us[2 + i])
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run_synced(chain2, op, us[4 - i])
+        t2s.append(time.perf_counter() - t0)
+    t1 = sorted(t1s)[1]
+    t2 = sorted(t2s)[1]
     dt = max(t2 - t1, 1e-9) / (n2 - n1)
     return grid.size / dt, dt, grid.size
 
 
 def main():
     ne = None
+    compact_ne = None
     for arg in sys.argv[1:]:
         if arg.startswith("--ne="):
             ne = int(arg.split("=")[1])
+        if arg.startswith("--compact-ne="):
+            compact_ne = int(arg.split("=")[1])
     if "--cpu-probe" in sys.argv:
         gpps, dt, npts = measure_apply(iters=5, platform="cpu")
         print(json.dumps({"gpps": gpps}))
         return
 
-    gpps, dt, npts = measure_apply(ne=ne)
+    gpps, dt, npts = measure_apply(ne=ne, compact_ne=compact_ne)
     print(
         f"[bench] apply: {dt*1e3:.2f} ms on {npts} pts "
         f"({gpps/1e9:.3f} G gridpoints/s)",

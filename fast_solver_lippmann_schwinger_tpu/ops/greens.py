@@ -68,28 +68,64 @@ def duan_rokhlin_d0(kh: float) -> complex:
 # FFT-size helper
 # -----------------------------------------------------------------------------
 
-def good_fft_size(minimum: int) -> int:
-    """Smallest 5-smooth (2^a 3^b 5^c) integer >= minimum.
+def _prefer_pow2_default() -> bool:
+    """Power-of-two FFTs are the fast path on accelerator backends.
+
+    Measured on the TPU (801x801 plasma apply, complex64): per-point FFT
+    throughput at 2048 is ~6x that of 5-smooth 1620 / 1728 — a pow2 grid
+    wins even when it carries up to 4x more points in 2D.  On CPU
+    (pocketfft) mixed radix is fine and smaller wins.
+    """
+    try:
+        import jax
+
+        return jax.default_backend() != "cpu"
+    except Exception:  # noqa: BLE001 — jax unavailable/uninitialized
+        return False
+
+
+def good_fft_size(minimum: int, multiple_of: int = 1,
+                  prefer_pow2: bool | None = None) -> int:
+    """Smallest FFT-fast integer >= minimum (and divisible by
+    ``multiple_of``, used by the distributed FFT to make extended grids
+    divide evenly over the mesh axis).
 
     The reference uses exact sizes 2n-1 / 4n which are frequently prime
     (e.g. 1601) and catastrophic for FFT performance; the circulant
-    embedding is exact for ANY size >= the minimum, so we round up to an
-    XLA-friendly composite.
+    embedding is exact for ANY size >= the minimum, so we round up — to the
+    next power of two on accelerators (see :func:`_prefer_pow2_default`),
+    else to the smallest 5-smooth (2^a 3^b 5^c) composite.
     """
     if minimum <= 1:
-        return 1
+        minimum = 1
+    if prefer_pow2 is None:
+        prefer_pow2 = _prefer_pow2_default()
+    if prefer_pow2 and multiple_of & (multiple_of - 1) == 0:
+        p = 1
+        while p < minimum or p % multiple_of:
+            p *= 2
+        return p
     best = None
     p2 = 1
-    while p2 < 2 * minimum:
+    while p2 < 2 * minimum * multiple_of:
         p23 = p2
-        while p23 < 2 * minimum:
+        while p23 < 2 * minimum * multiple_of:
             p235 = p23
-            while p235 < minimum:
+            while p235 < minimum or p235 % multiple_of:
                 p235 *= 5
-            if best is None or p235 < best:
+                if p235 > 4 * minimum * multiple_of:
+                    break
+            if p235 >= minimum and p235 % multiple_of == 0 and (
+                best is None or p235 < best
+            ):
                 best = p235
             p23 *= 3
         p2 *= 2
+    if best is None:
+        raise ValueError(
+            f"no 5-smooth size >= {minimum} divisible by {multiple_of} "
+            "(multiple_of must itself be 5-smooth)"
+        )
     return best
 
 
@@ -223,6 +259,10 @@ def gv_compact_kernel_2d(n: int, m: int, h: float, k: float,
 
     ne = good_fft_size(2 * n - 1) if ne is None else ne
     me = good_fft_size(2 * m - 1) if me is None else me
+    assert ne >= 2 * n - 1 and me >= 2 * m - 1, (
+        f"compact embedding needs ne >= {2 * n - 1}, me >= {2 * m - 1}; "
+        f"got ({ne}, {me})"
+    )
     circ = np.zeros((me, ne), dtype=np.complex128)
     iy = (np.arange(2 * m - 1) - (m - 1)) % me
     ix = (np.arange(2 * n - 1) - (n - 1)) % ne
@@ -255,6 +295,8 @@ def gv_symbol_3d(n: int, m: int, l: int, h: float, k: float,
 
 
 def gv_compact_kernel_3d(n: int, m: int, l: int, h: float, k: float,
+                         ne: int | None = None, me: int | None = None,
+                         le: int | None = None,
                          truncation_factor: float = 1.8):
     """3D compact GV embedding (see :func:`gv_compact_kernel_2d`): the
     support radius 1.8 n h covers sqrt(3) (n-1) h, so the (2n-1)^3 tap table
@@ -271,9 +313,10 @@ def gv_compact_kernel_3d(n: int, m: int, l: int, h: float, k: float,
     dz = np.arange(-(l - 1), l) % le4
     tab = kern[np.ix_(dz, dy, dx)]
 
-    ne = good_fft_size(2 * n - 1)
-    me = good_fft_size(2 * m - 1)
-    le = good_fft_size(2 * l - 1)
+    ne = good_fft_size(2 * n - 1) if ne is None else ne
+    me = good_fft_size(2 * m - 1) if me is None else me
+    le = good_fft_size(2 * l - 1) if le is None else le
+    assert ne >= 2 * n - 1 and me >= 2 * m - 1 and le >= 2 * l - 1
     circ = np.zeros((le, me, ne), dtype=np.complex128)
     ix = (np.arange(2 * n - 1) - (n - 1)) % ne
     iy = (np.arange(2 * m - 1) - (m - 1)) % me

@@ -1,0 +1,202 @@
+"""Multi-device FFT convolution via all-to-all transposes.
+
+SURVEY.md section 7 hard part 4: the 3D Greengard-Vico apply pads each axis
+4x (or ~2x with the compact re-embedding), so the extended spectral grid of a
+large 3D problem exceeds one chip's HBM.  The reference has no answer (FFTW
+on one shared-memory node, ``examples/example3D.jl``); here the extended grid
+is sharded over a 1-D device mesh axis and the FFT is decomposed the standard
+slab-pencil way:
+
+    rows local -> FFT over the local axes -> tiled ``all_to_all`` transpose
+    (ICI) -> FFT over the remaining axis -> spectral multiply against a
+    symbol PRE-SHARDED in the transposed layout -> inverse in reverse order.
+
+Only two all-to-alls per convolve; the symbol never moves.  The operator
+pytrees mirror ``ops/fastconv.py`` (reference ``FastM``/``FastM3D``,
+``src/FastConvolution.jl:11-107``, ``src/FastConvolution3D.jl:7-63``) with
+the identity+nu fused around the distributed convolve.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fast_solver_lippmann_schwinger_tpu.config import QuadRule
+from fast_solver_lippmann_schwinger_tpu.ops import greens
+from fast_solver_lippmann_schwinger_tpu.utils.host import to_device_complex
+
+
+def _convolve_2d_local(sym_cols, x_rows, axis):
+    """shard_map body: x_rows (me/P, ne) row-sharded, sym_cols (me, ne/P)
+    column-sharded.  Returns the 2D circular convolution, row-sharded."""
+    x = jnp.fft.fft(x_rows, axis=1)
+    x = jax.lax.all_to_all(x, axis, split_axis=1, concat_axis=0, tiled=True)
+    x = jnp.fft.fft(x, axis=0)            # (me, ne/P): columns complete
+    x = x * sym_cols
+    x = jnp.fft.ifft(x, axis=0)
+    x = jax.lax.all_to_all(x, axis, split_axis=0, concat_axis=1, tiled=True)
+    return jnp.fft.ifft(x, axis=1)
+
+
+def _convolve_3d_local(sym_pencil, x_slabs, axis):
+    """x_slabs (le/P, me, ne) sharded on axis 0; sym_pencil (le, me/P, ne)
+    sharded on axis 1."""
+    x = jnp.fft.fftn(x_slabs, axes=(1, 2))
+    x = jax.lax.all_to_all(x, axis, split_axis=1, concat_axis=0, tiled=True)
+    x = jnp.fft.fft(x, axis=0)            # (le, me/P, ne): z complete
+    x = x * sym_pencil
+    x = jnp.fft.ifft(x, axis=0)
+    x = jax.lax.all_to_all(x, axis, split_axis=0, concat_axis=1, tiled=True)
+    return jnp.fft.ifftn(x, axes=(1, 2))
+
+
+@struct.dataclass
+class DistributedLS2D:
+    """2D Lippmann-Schwinger operator whose EXTENDED grid (where all the
+    memory and FLOPs live — 4x the field in 2D, 8x in 3D) is sharded over a
+    mesh axis.  The user-facing (m, n) field stays replicated: grid sizes
+    are arbitrary (not mesh-divisible) and the field is small next to the
+    spectral work arrays.  Call ``apply``/``convolve`` inside ``jit``."""
+
+    symbol: jnp.ndarray        # (me, ne) complex, placed column-sharded
+    nu: jnp.ndarray            # (m, n) real, replicated
+    omega: float = struct.field(pytree_node=False)
+    n: int = struct.field(pytree_node=False)
+    m: int = struct.field(pytree_node=False)
+    axis: str = struct.field(pytree_node=False)
+    mesh: Mesh = struct.field(pytree_node=False)
+
+    def convolve(self, b: jnp.ndarray) -> jnp.ndarray:
+        me, ne = self.symbol.shape
+        ext = jnp.zeros((me, ne), dtype=self.symbol.dtype)
+        ext = ext.at[: self.m, : self.n].set(
+            b.reshape(self.m, self.n).astype(self.symbol.dtype)
+        )
+        ext = jax.lax.with_sharding_constraint(
+            ext, NamedSharding(self.mesh, P(self.axis, None))
+        )
+        out = jax.shard_map(
+            lambda s, x: _convolve_2d_local(s, x, self.axis),
+            mesh=self.mesh,
+            in_specs=(P(None, self.axis), P(self.axis, None)),
+            out_specs=P(self.axis, None),
+            check_vma=False,
+        )(self.symbol, ext)
+        return out[: self.m, : self.n].reshape(b.shape)
+
+    def apply(self, u: jnp.ndarray) -> jnp.ndarray:
+        scaled = (self.nu.reshape(u.shape) * u).astype(self.symbol.dtype)
+        return u + (self.omega ** 2) * self.convolve(scaled)
+
+    def __call__(self, u):
+        return self.apply(u)
+
+
+@struct.dataclass
+class DistributedLS3D:
+    """3D analog: extended grid sharded over z-slabs of the mesh axis."""
+
+    symbol: jnp.ndarray        # (le, me, ne), placed sharded on axis 1
+    nu: jnp.ndarray            # (l, m, n) real, replicated
+    omega: float = struct.field(pytree_node=False)
+    n: int = struct.field(pytree_node=False)
+    m: int = struct.field(pytree_node=False)
+    l: int = struct.field(pytree_node=False)
+    axis: str = struct.field(pytree_node=False)
+    mesh: Mesh = struct.field(pytree_node=False)
+
+    def convolve(self, b: jnp.ndarray) -> jnp.ndarray:
+        le, me, ne = self.symbol.shape
+        ext = jnp.zeros((le, me, ne), dtype=self.symbol.dtype)
+        ext = ext.at[: self.l, : self.m, : self.n].set(
+            b.reshape(self.l, self.m, self.n).astype(self.symbol.dtype)
+        )
+        ext = jax.lax.with_sharding_constraint(
+            ext, NamedSharding(self.mesh, P(self.axis, None, None))
+        )
+        out = jax.shard_map(
+            lambda s, x: _convolve_3d_local(s, x, self.axis),
+            mesh=self.mesh,
+            in_specs=(P(None, self.axis, None), P(self.axis, None, None)),
+            out_specs=P(self.axis, None, None),
+            check_vma=False,
+        )(self.symbol, ext)
+        return out[: self.l, : self.m, : self.n].reshape(b.shape)
+
+    def apply(self, u: jnp.ndarray) -> jnp.ndarray:
+        scaled = (self.nu.reshape(u.shape) * u).astype(self.symbol.dtype)
+        return u + (self.omega ** 2) * self.convolve(scaled)
+
+    def __call__(self, u):
+        return self.apply(u)
+
+
+def build_distributed_fast_convolution_2d(
+    x, y, h, k, nu, mesh: Mesh, axis: str = "slab",
+    quad_rule: QuadRule | str = QuadRule.GREENGARD_VICO,
+    dtype=jnp.complex64,
+) -> DistributedLS2D:
+    """Distributed counterpart of ``build_fast_convolution_2d``: extended
+    sizes are rounded up to FFT-friendly multiples of the mesh-axis size and
+    the symbol is placed column-sharded so the spectral multiply is local."""
+    quad_rule = QuadRule(quad_rule)
+    n, m = len(x), len(y)
+    D = mesh.shape[axis]
+    X, Y = np.meshgrid(np.asarray(x), np.asarray(y), indexing="xy")
+    nu_arr = nu(X, Y) if callable(nu) else np.asarray(nu).reshape(m, n)
+
+    ne = greens.good_fft_size(2 * n - 1, multiple_of=D)
+    me = greens.good_fft_size(2 * m - 1, multiple_of=D)
+    if quad_rule == QuadRule.TRAPEZOIDAL:
+        sym, ne, me = greens.trapezoidal_kernel_2d(n, m, h, k, ne=ne, me=me)
+    else:
+        sym, ne, me = greens.gv_compact_kernel_2d(n, m, h, k, ne=ne, me=me)
+
+    real_dtype = jnp.float64 if dtype == jnp.complex128 else jnp.float32
+    symbol = jax.device_put(
+        to_device_complex(sym, dtype), NamedSharding(mesh, P(None, axis))
+    )
+    nu_dev = jax.device_put(
+        jnp.asarray(nu_arr, real_dtype), NamedSharding(mesh, P())
+    )
+    return DistributedLS2D(
+        symbol=symbol, nu=nu_dev, omega=float(k), n=n, m=m,
+        axis=axis, mesh=mesh,
+    )
+
+
+def build_distributed_fast_convolution_3d(
+    x, y, z, h, k, nu, mesh: Mesh, axis: str = "slab",
+    dtype=jnp.complex64,
+) -> DistributedLS3D:
+    """3D distributed builder (compact Greengard-Vico symbol; reference
+    ``buildFastConvolution3D``, ``src/FastConvolution3D.jl:68-132``)."""
+    n, m, l = len(x), len(y), len(z)
+    D = mesh.shape[axis]
+    X = np.asarray(x)[None, None, :]
+    Y = np.asarray(y)[None, :, None]
+    Z = np.asarray(z)[:, None, None]
+    nu_arr = nu(X, Y, Z) if callable(nu) else np.asarray(nu).reshape(l, m, n)
+
+    ne = greens.good_fft_size(2 * n - 1)
+    me = greens.good_fft_size(2 * m - 1, multiple_of=D)
+    le = greens.good_fft_size(2 * l - 1, multiple_of=D)
+    sym, ne, me, le = greens.gv_compact_kernel_3d(
+        n, m, l, h, k, ne=ne, me=me, le=le
+    )
+
+    real_dtype = jnp.float64 if dtype == jnp.complex128 else jnp.float32
+    symbol = jax.device_put(
+        to_device_complex(sym, dtype), NamedSharding(mesh, P(None, axis, None))
+    )
+    nu_dev = jax.device_put(
+        jnp.asarray(nu_arr, real_dtype), NamedSharding(mesh, P())
+    )
+    return DistributedLS3D(
+        symbol=symbol, nu=nu_dev, omega=float(k), n=n, m=m, l=l,
+        axis=axis, mesh=mesh,
+    )
