@@ -1,0 +1,66 @@
+"""2D plasma with the polarized-traces (trace-space) preconditioner.
+
+TPU-native equivalent of ``tests/plasma_integral_system_example.jl``
+(h = 1/400, k = 400, 8 slabs, npml = 10, inner GMRES on the polarized trace
+system with nIt = 2 block Gauss-Seidel).
+
+Run: python examples/example_plasma_integral2d.py [--h 0.0025] [--subs 8]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--h", type=float, default=1.0 / 400.0)
+    ap.add_argument("--subs", type=int, default=8)
+    ap.add_argument("--npml", type=int, default=10)
+    ap.add_argument("--n-it", type=int, default=2)
+    ap.add_argument("--quad", default="trapezoidal",
+                    choices=["trapezoidal", "greengard_vico"])
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--x64", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from fast_solver_lippmann_schwinger_tpu.models import plasma_integral2d
+    from fast_solver_lippmann_schwinger_tpu.utils.host import fetch
+    from fast_solver_lippmann_schwinger_tpu.utils.timing import PhaseTimer
+
+    dtype = jnp.complex128 if args.x64 else jnp.complex64
+    timer = PhaseTimer()
+    with timer.phase("setup+factorization"):
+        problem = plasma_integral2d.build_problem(
+            h=args.h, n_subdomains=args.subs, npml=args.npml,
+            n_it=args.n_it, quad_rule=args.quad, dtype=dtype,
+        )
+        jax.block_until_ready(problem.precond.slabs.fac.cinv)
+
+    for direction in [(1.0, 0.0), (0.0, 1.0)]:
+        with timer.phase(f"solve_{direction}"):
+            u, info = plasma_integral2d.solve(
+                problem, incident_direction=direction
+            )
+            u.block_until_ready()
+        print(
+            f"direction {direction}: outer iterations to convergence = "
+            f"{int(fetch(info.n_iterations)[()])}"
+        )
+        res = fetch(info.residuals)
+        print("residual history:", res[res > 0])
+    timer.log(grid=problem.grid.shape, k=problem.k, n_subs=args.subs)
+
+
+if __name__ == "__main__":
+    main()

@@ -99,3 +99,34 @@ def solve(problem: Plasma2DProblem, incident_direction=(1.0, 0.0),
         rtol=rtol, restart=restart, maxiter=maxiter,
     ))
     return fn(problem.op, problem.precond, u_inc)
+
+
+def solve_batched(problem: Plasma2DProblem,
+                  incident_directions=((1.0, 0.0), (0.0, 1.0)),
+                  rtol: float = 1e-8, restart: int = 20, maxiter: int = 100):
+    """All incident directions in one vmapped GMRES solve.
+
+    The reference loops directions serially (``tests/plasma_example.jl:160,172``).
+    Batching is the TPU-idiomatic form: the sweep solves are HBM-bound on
+    streaming the per-line pivot inverses, and under ``vmap`` each scan step
+    becomes one (n, n) x (n, R) matmul — the factorization is read from HBM
+    once per iteration for the WHOLE batch instead of once per direction.
+
+    Returns ``(x, info)`` with a leading batch axis on every field.
+    """
+    X, Y = problem.grid.mesh()
+    dirs = np.asarray(incident_directions, dtype=np.float64)
+    dtype = problem.op.symbol.dtype
+    phases = dirs[:, 0:1] * X.ravel()[None, :] + dirs[:, 1:2] * Y.ravel()[None, :]
+    u_inc = to_device_complex(np.exp(1j * problem.k * phases), dtype)  # (R, N)
+
+    def one(op, pc, ui):
+        return gmres(
+            op.apply, -(op.apply(ui) - ui), preconditioner=pc.apply,
+            rtol=rtol, restart=restart, maxiter=maxiter,
+        )
+
+    fn = jax.jit(lambda op, pc, uis: jax.vmap(
+        lambda ui: one(op, pc, ui)
+    )(uis))
+    return fn(problem.op, problem.precond, u_inc)
