@@ -67,10 +67,17 @@ class LippmannSchwinger2D:
         """
         b2 = b.reshape(self.m, self.n)
         me, ne = self.symbol.shape
+        # pruned padding: rows m..me of the extended grid are zero, so the
+        # forward row-FFT runs on the m live rows only and the inverse
+        # row-FFT on the m output rows only (exact; ~30% fewer FFT points)
+        rows = jnp.zeros((self.m, ne), dtype=self.symbol.dtype)
+        rows = rows.at[:, : self.n].set(b2.astype(self.symbol.dtype))
+        rows = jnp.fft.fft(rows, axis=1)
         ext = jnp.zeros((me, ne), dtype=self.symbol.dtype)
-        ext = ext.at[: self.m, : self.n].set(b2.astype(self.symbol.dtype))
-        out = jnp.fft.ifft2(self.symbol * jnp.fft.fft2(ext))
-        out = out[: self.m, : self.n]
+        ext = ext.at[: self.m].set(rows)
+        spec = self.symbol * jnp.fft.fft(ext, axis=0)
+        out = jnp.fft.ifft(spec, axis=0)[: self.m]
+        out = jnp.fft.ifft(out, axis=1)[:, : self.n]
         return out.reshape(b.shape)
 
     def apply(self, u: jnp.ndarray) -> jnp.ndarray:
@@ -108,10 +115,20 @@ class LippmannSchwinger3D:
     def convolve(self, b: jnp.ndarray) -> jnp.ndarray:
         b3 = b.reshape(self.l, self.m, self.n)
         le, me, ne = self.symbol.shape
+        # pruned padding (see the 2D convolve), staged per axis: each FFT
+        # pass runs only over the slices that are live on its batch axes
+        x = jnp.zeros((self.l, self.m, ne), dtype=self.symbol.dtype)
+        x = x.at[:, :, : self.n].set(b3.astype(self.symbol.dtype))
+        x = jnp.fft.fft(x, axis=2)
+        y = jnp.zeros((self.l, me, ne), dtype=self.symbol.dtype)
+        y = y.at[:, : self.m].set(x)
+        y = jnp.fft.fft(y, axis=1)
         ext = jnp.zeros((le, me, ne), dtype=self.symbol.dtype)
-        ext = ext.at[: self.l, : self.m, : self.n].set(b3.astype(self.symbol.dtype))
-        out = jnp.fft.ifftn(self.symbol * jnp.fft.fftn(ext))
-        out = out[: self.l, : self.m, : self.n]
+        ext = ext.at[: self.l].set(y)
+        spec = self.symbol * jnp.fft.fft(ext, axis=0)
+        out = jnp.fft.ifft(spec, axis=0)[: self.l]
+        out = jnp.fft.ifft(out, axis=1)[:, : self.m]
+        out = jnp.fft.ifft(out, axis=2)[:, :, : self.n]
         return out.reshape(b.shape)
 
     def apply(self, u: jnp.ndarray) -> jnp.ndarray:
