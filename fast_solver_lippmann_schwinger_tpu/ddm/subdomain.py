@@ -129,6 +129,9 @@ class SlabSystem:
     cpl_10: jnp.ndarray            # H[ind_1, ind_0]
     cpl_n_np: jnp.ndarray          # H[ind_n, ind_np]
     cpl_np_n: jnp.ndarray          # H[ind_np, ind_n]
+    # backward-pass lines needed to reach the deepest bottom trace (static;
+    # 0 = full backward pass) — down sweeps only consume bottom traces
+    trace_tail: int = struct.field(pytree_node=False, default=0)
 
 
 def build_slab_system(
@@ -269,6 +272,10 @@ def build_slab_system(
     cpl_n_np = band_at(ln, 2)
     cpl_np_n = band_at(lnp, 0)
 
+    # deepest bottom-trace line over slabs that have one (pre-clamp values)
+    valid_ln = ln[ln >= 0]
+    trace_tail = int(m1_max - valid_ln.min()) + 1 if valid_ln.size else 0
+
     h_dev = to_device_complex(h_sten, dtype)
     if pivot_dtype == "bf16":
         from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
@@ -308,6 +315,7 @@ def build_slab_system(
         cpl_10=to_device_complex(cpl_10, dtype),
         cpl_n_np=to_device_complex(cpl_n_np, dtype),
         cpl_np_n=to_device_complex(cpl_np_n, dtype),
+        trace_tail=trace_tail,
     )
 
 

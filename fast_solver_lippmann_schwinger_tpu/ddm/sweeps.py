@@ -28,6 +28,7 @@ from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
     BlockTridiagFactorization,
     band_matvec,
     block_thomas_solve,
+    block_thomas_solve_tail,
 )
 from fast_solver_lippmann_schwinger_tpu.sparse.stencil_matrix import StencilMatrix2D
 
@@ -74,7 +75,10 @@ def gs_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
         zero = jnp.zeros_like(add0)
         rhs = rhs.at[xs["l0"]].add(jnp.where(xs["has_top"], add0, zero))
         rhs = rhs.at[xs["l1"]].add(jnp.where(xs["has_top"], add1, zero))
-        v = block_thomas_solve(_fac_at(slabs.fac, xs["idx"]), rhs)
+        # down solves only consume bottom traces: truncated backward pass
+        v = block_thomas_solve_tail(
+            _fac_at(slabs.fac, xs["idx"]), rhs, slabs.trace_tail
+        )
         u_n = v[xs["ln"]]
         u_np = v[xs["lnp"]]
         return (u_n, u_np), (rhs, u_np)
@@ -137,9 +141,10 @@ def jacobi_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
 
     def down_step(carry, xs):
         u_n_prev, u_np_prev = carry
-        t = block_thomas_solve(
+        t = block_thomas_solve_tail(
             _fac_at(slabs.fac, xs["idx"]),
             trace_rhs_down(xs, u_n_prev, u_np_prev),
+            slabs.trace_tail,
         )
         u_n = xs["tn_init"] + t[xs["ln"]]
         u_np = xs["tnp_init"] + t[xs["lnp"]]

@@ -33,6 +33,7 @@ from fast_solver_lippmann_schwinger_tpu.ddm.subdomain import SlabSystem
 from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
     band_matvec,
     block_thomas_solve,
+    block_thomas_solve_tail,
 )
 
 
@@ -101,7 +102,7 @@ def sharded_gs_sweep(slabs: SlabSystem, b: jnp.ndarray, mesh: Mesh,
             add1 = -band_matvec(sl.cpl_10, u_n)
             rhs = rhs.at[sl.l0].add(jnp.where(sl.has_top, add0, zeros_n))
             rhs = rhs.at[sl.l1].add(jnp.where(sl.has_top, add1, zeros_n))
-            v = block_thomas_solve(sl.fac, rhs)
+            v = block_thomas_solve_tail(sl.fac, rhs, slabs.trace_tail)
             mine = me == owner
             rhs_local = rhs_local.at[li].set(
                 jnp.where(mine, rhs, rhs_local[li])
@@ -199,7 +200,7 @@ def sharded_gs_sweep_pipelined(slabs: SlabSystem, b_batch: jnp.ndarray,
             add1 = -band_matvec(sl.cpl_10, recv[0])
             rhs = rhs.at[sl.l0].add(jnp.where(sl.has_top, add0, zeros_n))
             rhs = rhs.at[sl.l1].add(jnp.where(sl.has_top, add1, zeros_n))
-            v = block_thomas_solve(sl.fac, rhs)
+            v = block_thomas_solve_tail(sl.fac, rhs, slabs.trace_tail)
             rhs_all = rhs_all.at[rc].set(jnp.where(valid, rhs, rhs_all[rc]))
             u_np_all = u_np_all.at[rc].set(
                 jnp.where(valid, v[sl.lnp], u_np_all[rc])

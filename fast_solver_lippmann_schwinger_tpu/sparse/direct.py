@@ -199,6 +199,60 @@ def block_thomas_solve(fac: BlockTridiagFactorization, b: jnp.ndarray) -> jnp.nd
     return x.reshape(orig_shape)
 
 
+def block_thomas_solve_tail(fac: BlockTridiagFactorization, b: jnp.ndarray,
+                            tail: int) -> jnp.ndarray:
+    """Solve ``S x = b`` materializing x only on the LAST ``tail`` lines.
+
+    The backward substitution starts at the true last line, so the computed
+    lines are EXACT; lines above ``m - tail`` are returned as zeros.  Used
+    by the downward sweeps, which consume only the bottom-interface traces
+    of each local solve — the backward pass shrinks from m to ~2*npml
+    steps (the forward pass still runs over all lines).
+    """
+    m, n = fac.lband.shape[0], fac.lband.shape[1]
+    if tail <= 0 or tail >= m:
+        return block_thomas_solve(fac, b)
+    orig_shape = b.shape
+    if b.ndim == 1:
+        bg = b.reshape(m, n)
+    elif b.ndim == 2 and b.shape == (m, n):
+        bg = b
+    elif b.ndim == 2:
+        bg = b.reshape(m, n, b.shape[1])
+    else:
+        bg = b
+
+    dtype = fac.lband.dtype
+    lines = jnp.arange(m)
+
+    def fwd(t_prev, inp):
+        b_j, lband_j, j = inp
+        y_j = b_j - band_matvec(lband_j, t_prev)
+        t_j = _pivot_apply(jax.tree_util.tree_map(lambda a: a[j], fac), y_j)
+        return t_j, y_j
+
+    t0 = jnp.zeros(bg.shape[1:], dtype=dtype)
+    _, y = jax.lax.scan(fwd, t0, (bg.astype(dtype), fac.lband, lines))
+
+    def bwd(x_next, inp):
+        y_j, uband_j, j = inp
+        x_j = _pivot_apply(
+            jax.tree_util.tree_map(lambda a: a[j], fac),
+            y_j - band_matvec(uband_j, x_next),
+        )
+        return x_j, x_j
+
+    x0 = jnp.zeros(bg.shape[1:], dtype=dtype)
+    tail_lines = lines[m - tail:]
+    _, x_tail = jax.lax.scan(
+        bwd, x0, (y[m - tail:], fac.uband[m - tail:], tail_lines),
+        reverse=True,
+    )
+    x = jnp.zeros_like(bg, shape=(m,) + bg.shape[1:], dtype=dtype)
+    x = x.at[m - tail:].set(x_tail)
+    return x.reshape(orig_shape)
+
+
 # Batched variants (leading slab axis) — used by the DDM layer to factor and
 # solve all subdomains concurrently (the reference factorizes slabs in a
 # sequential Julia loop, ``tests/plasma_example.jl:123-128``).

@@ -21,8 +21,10 @@ def _reissue(x):
 
 @jax.jit
 def _reissue_complex(x):
+    # 1-D single output: the tunnel backend can only fetch 1-d arrays from
+    # single-output executables (2-d outputs raise UNIMPLEMENTED)
     f = jnp.ravel(x)
-    return jnp.stack([jnp.real(f), jnp.imag(f)])
+    return jnp.concatenate([jnp.real(f), jnp.imag(f)])
 
 
 def fetch(x) -> np.ndarray:
@@ -33,8 +35,9 @@ def fetch(x) -> np.ndarray:
     if x.ndim == 0:
         x = x.reshape(1)
     if jnp.iscomplexobj(x):
-        pair = np.asarray(_reissue_complex(x))
-        return (pair[0] + 1j * pair[1]).reshape(shape)
+        flat = np.asarray(_reissue_complex(x))
+        half = flat.shape[0] // 2
+        return (flat[:half] + 1j * flat[half:]).reshape(shape)
     try:
         return np.asarray(x).reshape(shape)
     except Exception:  # noqa: BLE001 — backend-specific runtime errors

@@ -120,3 +120,42 @@ def test_sweep_vs_direct_solve(plasma_problem):
                        rtol=1e-10, restart=20, maxiter=200)
     rel = np.linalg.norm(np.asarray(x_it) - x_direct) / np.linalg.norm(x_direct)
     assert rel < 1e-6
+
+
+def test_block_thomas_solve_tail_matches_full():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
+        block_thomas_solve,
+        block_thomas_solve_tail,
+        factor_stencil_2d,
+    )
+    from fast_solver_lippmann_schwinger_tpu.sparse.stencil_matrix import (
+        StencilMatrix2D,
+    )
+
+    rng = np.random.default_rng(7)
+    m, n = 24, 17
+    vals = rng.standard_normal((m, n, 3, 3)) + 1j * rng.standard_normal(
+        (m, n, 3, 3)
+    )
+    vals[:, :, 1, 1] += 8.0  # diagonally dominant
+    s = StencilMatrix2D(values=jnp.asarray(vals, jnp.complex128))
+    fac = factor_stencil_2d(s)
+    b = jnp.asarray(
+        rng.standard_normal((m, n)) + 1j * rng.standard_normal((m, n)),
+        jnp.complex128,
+    )
+    full = np.asarray(block_thomas_solve(fac, b))
+    tail = 7
+    part = np.asarray(block_thomas_solve_tail(fac, b, tail))
+    assert np.allclose(part[m - tail:], full[m - tail:], rtol=1e-10, atol=1e-12)
+    assert np.all(part[: m - tail] == 0)
+    # degenerate tails fall back to the full solve
+    assert np.allclose(
+        np.asarray(block_thomas_solve_tail(fac, b, 0)), full
+    )
+    assert np.allclose(
+        np.asarray(block_thomas_solve_tail(fac, b, m + 3)), full
+    )
