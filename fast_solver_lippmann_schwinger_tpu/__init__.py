@@ -60,6 +60,18 @@ from fast_solver_lippmann_schwinger_tpu.ddm.sweeps import (
 from fast_solver_lippmann_schwinger_tpu.ddm.polarized import (
     PolarizedTracesPreconditioner,
 )
+from fast_solver_lippmann_schwinger_tpu.parallel.fft import (
+    DistributedLS2D,
+    DistributedLS3D,
+    build_distributed_fast_convolution_2d,
+    build_distributed_fast_convolution_3d,
+)
+from fast_solver_lippmann_schwinger_tpu.parallel.sharded import (
+    make_sharded_double_sweep,
+    shard_slab_system,
+    sharded_gs_sweep,
+    sharded_gs_sweep_pipelined,
+)
 
 __version__ = "0.1.0"
 
@@ -81,4 +93,21 @@ __all__ = [
     "factor_stencil_2d",
     "block_thomas_solve",
     "SparsifyingPreconditioner",
+    "SparsifyingPreconditioner3D",
+    "SlabSystem",
+    "build_slab_system",
+    "DoubleSweepPreconditioner",
+    "GSPreconditioner",
+    "InnerGMRESPreconditioner",
+    "gs_sweep",
+    "jacobi_sweep",
+    "PolarizedTracesPreconditioner",
+    "DistributedLS2D",
+    "DistributedLS3D",
+    "build_distributed_fast_convolution_2d",
+    "build_distributed_fast_convolution_3d",
+    "make_sharded_double_sweep",
+    "shard_slab_system",
+    "sharded_gs_sweep",
+    "sharded_gs_sweep_pipelined",
 ]

@@ -234,6 +234,15 @@ def sample_g_columns(op, indices: np.ndarray) -> jnp.ndarray:
     Returns (len(indices), op.size).
     """
     indices = jnp.asarray(np.asarray(indices, dtype=np.int64))
-    eye_rows = jnp.zeros((indices.shape[0], op.size), dtype=op.symbol.dtype)
-    eye_rows = eye_rows.at[jnp.arange(indices.shape[0]), indices].set(1.0)
-    return jax.vmap(lambda e: op.convolve(e))(eye_rows)
+
+    # op rides as a jit ARGUMENT and the impulses are built inside the
+    # program: closure-captured device arrays become giant embedded
+    # constants, which the tunnel backend rejects (UNIMPLEMENTED in
+    # ir_constant), and eager complex array creation is unreliable there
+    @jax.jit
+    def _sample(o, idx):
+        eye_rows = jnp.zeros((idx.shape[0], o.size), dtype=o.symbol.dtype)
+        eye_rows = eye_rows.at[jnp.arange(idx.shape[0]), idx].set(1.0)
+        return jax.vmap(o.convolve)(eye_rows)
+
+    return _sample(op, indices)
