@@ -25,6 +25,12 @@ def main():
     ap.add_argument("--npml", type=int, default=10)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16-compressed slab pivots (the production "
+                    "setting at 801x801 — full precision x2 sweep systems "
+                    "exceed HBM)")
+    ap.add_argument("--skip-full", action="store_true",
+                    help="skip the full-grid factorization benchmarks")
     args = ap.parse_args()
 
     import jax
@@ -71,19 +77,21 @@ def main():
         k, grid.x, grid.y, args.h, dtype=dtype, return_host=True
     )
     msp = stencils.build_msp_2d(a_st, ag_st, nu, k)
+    pivot_dtype = "bf16" if args.bf16 else "full"
     slabs = build_slab_system(
         a_st, ag_st, nu, grid.x, grid.y, args.h, k, args.subs,
-        npml=args.npml, a_host=a_np, ag_host=ag_np,
+        npml=args.npml, a_host=a_np, ag_host=ag_np, pivot_dtype=pivot_dtype,
     )
     slabs_t = build_slab_system(
         a_st.transpose(), ag_st.transpose(), nu.T, grid.y, grid.x,
         args.h, k, args.subs, npml=args.npml,
         a_host=a_np.transpose(1, 0, 3, 2), ag_host=ag_np.transpose(1, 0, 3, 2),
+        pivot_dtype=pivot_dtype,
     )
     precond = DoubleSweepPreconditioner(
         slabs=slabs, slabs_t=slabs_t, msp=msp, a_s=a_st
     )
-    fac_full = jax.jit(factor_stencil_2d)(msp)
+    fac_full = None if args.skip_full else jax.jit(factor_stencil_2d)(msp)
 
     u = to_device_complex(np.exp(1j * k * X.ravel()), dtype)
 
@@ -123,8 +131,9 @@ def main():
 
     chain_time("operator apply", lambda p, v: p.apply(v), u, op)
     chain_time("stencil matvec (Msp)", lambda p, v: p.matvec(v), u, msp)
-    chain_time("block-Thomas full grid",
-               lambda p, v: block_thomas_solve(p, v), u, fac_full)
+    if fac_full is not None:
+        chain_time("block-Thomas full grid",
+                   lambda p, v: block_thomas_solve(p, v), u, fac_full)
     chain_time("gs_sweep (one direction)",
                lambda p, v: gs_sweep(p, v), u, slabs, n1=2, n2=10)
     chain_time("DoubleSweep precond apply",

@@ -1,0 +1,111 @@
+"""CLI driver: ``python -m fast_solver_lippmann_schwinger_tpu``.
+
+Runs any reference configuration from a JSON config file and/or flags —
+the typed-config replacement for the reference's edit-the-script workflow.
+
+Examples:
+    python -m fast_solver_lippmann_schwinger_tpu --dim 2 --medium plasma \
+        --h 0.0025 --precond double_sweep --subs 8 --cpu --x64
+    python -m fast_solver_lippmann_schwinger_tpu --config problem.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="python -m fast_solver_lippmann_schwinger_tpu"
+    )
+    ap.add_argument("--config", help="JSON file with ProblemConfig fields")
+    ap.add_argument("--dim", type=int)
+    ap.add_argument("--medium", choices=["gaussian_bump", "plasma"])
+    ap.add_argument("--h", type=float)
+    ap.add_argument("--k", type=float)
+    ap.add_argument("--quad", choices=["trapezoidal", "greengard_vico"])
+    ap.add_argument("--precond", choices=[
+        "sparsifying", "gs", "double_sweep", "polarized_traces", "none",
+    ])
+    ap.add_argument("--pivot-dtype", choices=["full", "bf16"])
+    ap.add_argument("--subs", type=int, help="number of DDM slabs")
+    ap.add_argument("--npml", type=int)
+    ap.add_argument("--rtol", type=float)
+    ap.add_argument("--maxiter", type=int)
+    ap.add_argument("--direction", type=float, nargs="+",
+                    help="incident direction components")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--x64", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from fast_solver_lippmann_schwinger_tpu import api
+    from fast_solver_lippmann_schwinger_tpu.config import (
+        DDMConfig,
+        ProblemConfig,
+        QuadRule,
+        SolverConfig,
+    )
+    from fast_solver_lippmann_schwinger_tpu.utils.host import fetch
+    from fast_solver_lippmann_schwinger_tpu.utils.timing import PhaseTimer
+
+    raw = {}
+    if args.config:
+        with open(args.config) as fh:
+            raw = json.load(fh)
+    solver_kw = dict(raw.pop("solver", {}))
+    ddm_kw = dict(raw.pop("ddm", {}))
+    if args.rtol is not None:
+        solver_kw["rtol"] = args.rtol
+    if args.maxiter is not None:
+        solver_kw["maxiter"] = args.maxiter
+    solver_kw["dtype"] = jnp.complex128 if args.x64 else jnp.complex64
+    if args.subs is not None:
+        ddm_kw["n_subdomains"] = args.subs
+    if args.npml is not None:
+        ddm_kw["npml"] = args.npml
+    for flag, key in [
+        ("dim", "dim"), ("medium", "medium"), ("h", "h"), ("k", "k"),
+        ("quad", "quad_rule"), ("precond", "precond"),
+        ("pivot_dtype", "pivot_dtype"),
+    ]:
+        v = getattr(args, flag)
+        if v is not None:
+            raw[key] = v
+    if args.direction is not None:
+        raw["incident_direction"] = tuple(args.direction)
+    if "quad_rule" in raw:
+        raw["quad_rule"] = QuadRule(raw["quad_rule"])
+    if "incident_direction" in raw:
+        raw["incident_direction"] = tuple(raw["incident_direction"])
+
+    cfg = ProblemConfig(
+        solver=SolverConfig(**solver_kw), ddm=DDMConfig(**ddm_kw), **raw
+    )
+    print(f"config: {dataclasses.asdict(cfg)}", file=sys.stderr)
+
+    timer = PhaseTimer()
+    with timer.phase("setup"):
+        problem = api.build_problem(cfg)
+    with timer.phase("solve"):
+        u, info = api.solve_problem(problem)
+        u.block_until_ready()
+    res = fetch(info.residuals)
+    print(f"iterations to convergence: {int(fetch(info.n_iterations)[()])}")
+    print("residual history:", res[res > 0])
+    timer.log(grid=list(problem.grid.shape), k=problem.k,
+              precond=cfg.precond)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,178 @@
+"""Config-driven top-level API.
+
+The reference's only "API" is editing constants inside driver scripts
+(``examples/example.jl:30-45``, ``tests/plasma_example.jl:20-41``); here a
+single :func:`solve_problem` call builds and solves any of its
+configurations from a typed :class:`ProblemConfig` (see ``config.py``).
+Also the engine behind ``python -m fast_solver_lippmann_schwinger_tpu``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fast_solver_lippmann_schwinger_tpu.config import (
+    DDMConfig,
+    ProblemConfig,
+    QuadRule,
+    SolverConfig,
+)
+from fast_solver_lippmann_schwinger_tpu.core.grids import Grid2D, Grid3D
+from fast_solver_lippmann_schwinger_tpu.ddm.polarized import (
+    PolarizedTracesPreconditioner,
+)
+from fast_solver_lippmann_schwinger_tpu.ddm.subdomain import build_slab_system
+from fast_solver_lippmann_schwinger_tpu.ddm.sweeps import (
+    DoubleSweepPreconditioner,
+    SingleSweepPreconditioner,
+)
+from fast_solver_lippmann_schwinger_tpu.models import media
+from fast_solver_lippmann_schwinger_tpu.ops.fastconv import (
+    build_fast_convolution_2d,
+    build_fast_convolution_3d,
+)
+from fast_solver_lippmann_schwinger_tpu.precond.sparsifying import (
+    SparsifyingPreconditioner,
+    SparsifyingPreconditioner3D,
+)
+from fast_solver_lippmann_schwinger_tpu.solver.gmres import gmres
+from fast_solver_lippmann_schwinger_tpu.sparse import stencils
+from fast_solver_lippmann_schwinger_tpu.utils.host import to_device_complex
+
+
+_MEDIA_2D = {
+    "gaussian_bump": media.gaussian_bump_2d,
+    "plasma": media.plasma_2d,
+}
+_MEDIA_3D = {
+    "gaussian_bump": media.gaussian_bump_3d,
+}
+
+
+@dataclasses.dataclass
+class Problem:
+    """Everything needed to run solves for one configuration."""
+
+    config: ProblemConfig
+    grid: object
+    k: float
+    op: object
+    precond: Optional[object]      # object with .apply, or None
+    precond_needs_transpose: bool = False
+
+
+def build_problem(cfg: ProblemConfig) -> Problem:
+    k = cfg.k if cfg.k is not None else 1.0 / cfg.h
+    dtype = cfg.solver.dtype
+
+    if cfg.dim == 2:
+        grid = Grid2D(a=cfg.a, h=cfg.h)
+        X, Y = grid.mesh()
+        nu = _MEDIA_2D[cfg.medium](X, Y)
+        op = build_fast_convolution_2d(
+            grid.x, grid.y, cfg.h, k, nu, quad_rule=cfg.quad_rule, dtype=dtype
+        )
+    elif cfg.dim == 3:
+        grid = Grid3D(a=cfg.a, h=cfg.h)
+        X, Y, Z = grid.mesh()
+        nu = _MEDIA_3D[cfg.medium](X, Y, Z)
+        op = build_fast_convolution_3d(
+            grid.x, grid.x, grid.x, cfg.h, k, nu, dtype=dtype
+        )
+    else:
+        raise ValueError(f"dim must be 2 or 3, got {cfg.dim}")
+
+    precond = None
+    if cfg.precond == "none":
+        pass
+    elif cfg.dim == 3:
+        if cfg.precond != "sparsifying":
+            raise ValueError(
+                "3D supports precond='sparsifying' or 'none' "
+                "(the reference's DDM is 2D-only, SURVEY.md section 2)"
+            )
+        a_st, ag_st = stencils.build_sparse_a_ag_3d(k, op, dtype=dtype)
+        msp = stencils.build_msp_3d(a_st, ag_st, nu, k)
+        precond = SparsifyingPreconditioner3D.build(msp, a_st)
+    elif cfg.precond == "sparsifying":
+        a_st, ag_st = stencils.build_sparse_a_ag_2d(
+            k, grid.x, grid.y, cfg.h, dtype=dtype
+        )
+        msp = stencils.build_msp_2d(a_st, ag_st, nu, k)
+        precond = SparsifyingPreconditioner.build(msp, a_st)
+    elif cfg.precond in ("gs", "double_sweep", "polarized_traces"):
+        a_st, ag_st, a_np, ag_np = stencils.build_sparse_a_ag_2d(
+            k, grid.x, grid.y, cfg.h, dtype=dtype, return_host=True
+        )
+        msp = stencils.build_msp_2d(a_st, ag_st, nu, k)
+        slabs = build_slab_system(
+            a_st, ag_st, nu, grid.x, grid.y, cfg.h, k,
+            cfg.ddm.n_subdomains, npml=cfg.ddm.npml,
+            shift_factor=cfg.ddm.shift_factor,
+            a_host=a_np, ag_host=ag_np, pivot_dtype=cfg.pivot_dtype,
+        )
+        if cfg.precond == "gs":
+            precond = SingleSweepPreconditioner(slabs=slabs, a_s=a_st)
+        elif cfg.precond == "polarized_traces":
+            precond = PolarizedTracesPreconditioner(
+                slabs=slabs, a_s=a_st, n_it=cfg.ddm.n_inner_iters,
+                inner_tol=cfg.ddm.inner_tol,
+                inner_maxiter=cfg.ddm.inner_maxiter,
+            )
+        else:
+            slabs_t = build_slab_system(
+                a_st.transpose(), ag_st.transpose(), np.asarray(nu).T,
+                grid.y, grid.x, cfg.h, k,
+                cfg.ddm.n_subdomains, npml=cfg.ddm.npml,
+                shift_factor=cfg.ddm.shift_factor,
+                a_host=a_np.transpose(1, 0, 3, 2),
+                ag_host=ag_np.transpose(1, 0, 3, 2),
+                pivot_dtype=cfg.pivot_dtype,
+            )
+            precond = DoubleSweepPreconditioner(
+                slabs=slabs, slabs_t=slabs_t, msp=msp, a_s=a_st
+            )
+    else:
+        raise ValueError(
+            f"unknown precond {cfg.precond!r}; expected one of "
+            "sparsifying | gs | double_sweep | polarized_traces | none"
+        )
+    return Problem(config=cfg, grid=grid, k=k, op=op, precond=precond)
+
+
+def incident_field(problem: Problem) -> jnp.ndarray:
+    cfg = problem.config
+    dtype = problem.op.symbol.dtype
+    d = np.asarray(cfg.incident_direction, dtype=np.float64)
+    if cfg.dim == 2:
+        X, Y = problem.grid.mesh()
+        phase = d[0] * X.ravel() + d[1] * Y.ravel()
+    else:
+        X, Y, Z = problem.grid.mesh()
+        d = np.pad(d, (0, 3 - d.shape[0]))
+        phase = d[0] * X.ravel() + d[1] * Y.ravel() + d[2] * Z.ravel()
+    return to_device_complex(np.exp(1j * problem.k * phase), dtype)
+
+
+def solve_problem(problem: Problem, u_inc: Optional[jnp.ndarray] = None):
+    """Scattering solve ``M u = -k^2 G conv (nu u_inc)`` == ``-(M-I) u_inc``.
+
+    Returns ``(u, GMRESInfo)``.
+    """
+    cfg = problem.config.solver
+    if u_inc is None:
+        u_inc = incident_field(problem)
+    pc = problem.precond
+
+    def run(op, precond, ui):
+        rhs = -(op.apply(ui) - ui)
+        pre = precond.apply if precond is not None else None
+        return gmres(op.apply, rhs, preconditioner=pre,
+                     rtol=cfg.rtol, restart=cfg.restart, maxiter=cfg.maxiter)
+
+    return jax.jit(run)(problem.op, pc, u_inc)

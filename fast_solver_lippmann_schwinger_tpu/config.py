@@ -53,6 +53,31 @@ class DDMConfig:
     inner_maxiter: int = 40
 
 
+@dataclasses.dataclass(frozen=True)
+class ProblemConfig:
+    """Full problem description — the typed replacement for the reference's
+    edit-the-driver-constants workflow (``tests/plasma_example.jl:20-41``).
+
+    ``precond`` mirrors the reference's preconditioner families:
+    ``sparsifying`` (``SparsifyingPreconditioner``), ``gs`` (one
+    single-direction sweep, ``GSPreconditioner``), ``double_sweep``
+    (``doublePreconditioner`` with maxIter=0), ``polarized_traces``
+    (trace-space inner GMRES), or ``none``.
+    """
+
+    dim: int = 2                       # 2 or 3
+    medium: str = "gaussian_bump"      # gaussian_bump | plasma
+    h: float = 1.0 / 100.0
+    a: float = 1.0                     # domain half-extent/size
+    k: float | None = None             # defaults to 1/h (reference convention)
+    quad_rule: QuadRule = QuadRule.GREENGARD_VICO
+    precond: str = "sparsifying"
+    pivot_dtype: str = "full"          # full | bf16 (DDM pivot storage)
+    incident_direction: tuple = (1.0, 0.0)
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    ddm: DDMConfig = dataclasses.field(default_factory=DDMConfig)
+
+
 def default_complex_dtype() -> jnp.dtype:
     """complex128 when x64 is enabled (CPU parity tests), else complex64 (TPU)."""
     return jnp.complex128 if jnp.zeros(0, jnp.float64).dtype == jnp.float64 else jnp.complex64

@@ -1,0 +1,44 @@
+"""Config-driven API: every preconditioner family solves the bump problem."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fast_solver_lippmann_schwinger_tpu import api
+from fast_solver_lippmann_schwinger_tpu.config import (
+    DDMConfig,
+    ProblemConfig,
+    SolverConfig,
+)
+from fast_solver_lippmann_schwinger_tpu.utils.host import fetch
+
+
+@pytest.mark.parametrize("precond,quad", [
+    ("sparsifying", "greengard_vico"),
+    ("sparsifying", "trapezoidal"),
+    ("gs", "greengard_vico"),
+    ("double_sweep", "greengard_vico"),
+    ("polarized_traces", "greengard_vico"),
+    ("none", "greengard_vico"),
+])
+def test_api_all_preconditioners(precond, quad):
+    cfg = ProblemConfig(
+        dim=2, medium="gaussian_bump", h=1.0 / 40.0,
+        quad_rule=quad, precond=precond,
+        solver=SolverConfig(rtol=1e-7, maxiter=200, dtype=jnp.complex128),
+        ddm=DDMConfig(n_subdomains=2, npml=6),
+    )
+    problem = api.build_problem(cfg)
+    u, info = api.solve_problem(problem)
+    assert bool(fetch(info.converged)[()])
+    assert np.isfinite(fetch(u)).all()
+    iters = int(fetch(info.n_iterations)[()])
+    if precond != "none":
+        assert iters < 30, f"{precond}: {iters} iterations"
+
+
+def test_api_bad_precond_raises():
+    with pytest.raises(ValueError, match="unknown precond"):
+        api.build_problem(ProblemConfig(precond="typo"))
+    with pytest.raises(ValueError, match="2D-only"):
+        api.build_problem(ProblemConfig(dim=3, precond="double_sweep"))
