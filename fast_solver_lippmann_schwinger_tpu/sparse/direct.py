@@ -25,6 +25,11 @@ from fast_solver_lippmann_schwinger_tpu.sparse.stencil_matrix import (
     StencilMatrix3D,
 )
 
+# Substitution scans are per-step latency-bound on TPU (~10 us/step vs the
+# ~3 us HBM bound for streaming one pivot line); unrolling amortizes the
+# loop overhead across several lines per hardware loop iteration.
+_SOLVE_UNROLL = 4
+
 
 @struct.dataclass
 class BlockTridiagFactorization:
@@ -71,11 +76,21 @@ def compress_factorization(
 def _pivot_apply(fac_slice, y):
     """``C_j^{-1} @ y`` for either storage format; y (n, ...) complex."""
     if hasattr(fac_slice, "cinv_re"):
+        # one width-2 matmul per plane: [re|im] @ [yr yi] streams each
+        # bf16 pivot plane from HBM ONCE (4 width-1 matvecs would read
+        # them twice) — the sweeps are bound on exactly this traffic
         re = fac_slice.cinv_re.astype(jnp.float32)
         im = fac_slice.cinv_im.astype(jnp.float32)
-        yr, yi = jnp.real(y).astype(jnp.float32), jnp.imag(y).astype(jnp.float32)
-        out_r = re @ yr - im @ yi
-        out_i = re @ yi + im @ yr
+        n = y.shape[0]
+        ys = jnp.stack(
+            [jnp.real(y).astype(jnp.float32), jnp.imag(y).astype(jnp.float32)],
+            axis=-1,
+        )                                   # (n, ..., 2)
+        flat = ys.reshape(n, -1)            # (n, 2 * prod(rest))
+        zre = (re @ flat).reshape(ys.shape)
+        zim = (im @ flat).reshape(ys.shape)
+        out_r = zre[..., 0] - zim[..., 1]
+        out_i = zre[..., 1] + zim[..., 0]
         return jax.lax.complex(out_r, out_i).astype(y.dtype)
     return fac_slice.cinv @ y
 
@@ -169,9 +184,10 @@ def block_thomas_solve(fac: BlockTridiagFactorization, b: jnp.ndarray) -> jnp.nd
         bg = b
 
     dtype = fac.lband.dtype
-    # the pivot stack is indexed per line inside the loop bodies rather than
-    # threaded through scan xs: scan xs can make XLA materialize full
-    # (multi-GB) relayout copies of their inputs
+    # the pivot stack is indexed per line inside the loop bodies rather
+    # than threaded through scan xs: threading the (m1, n, n) stacks
+    # through xs measured ~1.7x SLOWER (XLA materializes relayout copies
+    # of the xs inputs), see RESULTS.md
     lines = jnp.arange(m)
 
     def fwd(carry, inp):
@@ -183,7 +199,8 @@ def block_thomas_solve(fac: BlockTridiagFactorization, b: jnp.ndarray) -> jnp.nd
         return t_j, y_j
 
     t0 = jnp.zeros(bg.shape[1:], dtype=dtype)
-    _, y = jax.lax.scan(fwd, t0, (bg.astype(dtype), fac.lband, lines))
+    _, y = jax.lax.scan(fwd, t0, (bg.astype(dtype), fac.lband, lines),
+                        unroll=_SOLVE_UNROLL)
 
     def bwd(carry, inp):
         x_next = carry
@@ -195,7 +212,8 @@ def block_thomas_solve(fac: BlockTridiagFactorization, b: jnp.ndarray) -> jnp.nd
     x0 = jnp.zeros(bg.shape[1:], dtype=dtype)
     # reverse=True iterates back-to-front without materializing reversed
     # copies of the pivot arrays
-    _, x = jax.lax.scan(bwd, x0, (y, fac.uband, lines), reverse=True)
+    _, x = jax.lax.scan(bwd, x0, (y, fac.uband, lines), reverse=True,
+                        unroll=_SOLVE_UNROLL)
     return x.reshape(orig_shape)
 
 
@@ -232,7 +250,8 @@ def block_thomas_solve_tail(fac: BlockTridiagFactorization, b: jnp.ndarray,
         return t_j, y_j
 
     t0 = jnp.zeros(bg.shape[1:], dtype=dtype)
-    _, y = jax.lax.scan(fwd, t0, (bg.astype(dtype), fac.lband, lines))
+    _, y = jax.lax.scan(fwd, t0, (bg.astype(dtype), fac.lband, lines),
+                        unroll=_SOLVE_UNROLL)
 
     def bwd(x_next, inp):
         y_j, uband_j, j = inp
@@ -246,7 +265,7 @@ def block_thomas_solve_tail(fac: BlockTridiagFactorization, b: jnp.ndarray,
     tail_lines = lines[m - tail:]
     _, x_tail = jax.lax.scan(
         bwd, x0, (y[m - tail:], fac.uband[m - tail:], tail_lines),
-        reverse=True,
+        reverse=True, unroll=_SOLVE_UNROLL,
     )
     x = jnp.zeros_like(bg, shape=(m,) + bg.shape[1:], dtype=dtype)
     x = x.at[m - tail:].set(x_tail)
