@@ -358,21 +358,25 @@ def block_thomas_solve_3d(
     orig_shape = b.shape
     bg = b.reshape(l, mn)
 
+    planes = jnp.arange(l)
+
     def fwd(t_prev, inp):
-        b_k, lsten_k, cinv_k = inp
+        b_k, lsten_k, k = inp
         y_k = b_k - _plane_stencil_matvec(lsten_k, t_prev.reshape(m, n)).ravel()
-        return cinv_k @ y_k, y_k
+        return fac.cinv[k] @ y_k, y_k
 
     t0 = jnp.zeros((mn,), dtype=fac.cinv.dtype)
-    _, y = jax.lax.scan(fwd, t0, (bg.astype(fac.cinv.dtype), fac.lsten, fac.cinv))
+    _, y = jax.lax.scan(fwd, t0, (bg.astype(fac.cinv.dtype), fac.lsten, planes),
+                        unroll=min(_SOLVE_UNROLL, l))
 
     def bwd(x_next, inp):
-        y_k, usten_k, cinv_k = inp
-        x_k = cinv_k @ (
+        y_k, usten_k, k = inp
+        x_k = fac.cinv[k] @ (
             y_k - _plane_stencil_matvec(usten_k, x_next.reshape(m, n)).ravel()
         )
         return x_k, x_k
 
     x0 = jnp.zeros((mn,), dtype=fac.cinv.dtype)
-    _, x = jax.lax.scan(bwd, x0, (y, fac.usten, fac.cinv), reverse=True)
+    _, x = jax.lax.scan(bwd, x0, (y, fac.usten, planes), reverse=True,
+                        unroll=min(_SOLVE_UNROLL, l))
     return x.reshape(orig_shape)
