@@ -16,12 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fast_solver_lippmann_schwinger_tpu.config import (
-    DDMConfig,
-    ProblemConfig,
-    QuadRule,
-    SolverConfig,
-)
+from fast_solver_lippmann_schwinger_tpu.config import ProblemConfig
 from fast_solver_lippmann_schwinger_tpu.core.grids import Grid2D, Grid3D
 from fast_solver_lippmann_schwinger_tpu.ddm.polarized import (
     PolarizedTracesPreconditioner,

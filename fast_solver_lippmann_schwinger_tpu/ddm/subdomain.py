@@ -18,8 +18,6 @@ per-slab trace/interface index vectors.  Slab factorization is a single
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,10 +29,6 @@ from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
 )
 from fast_solver_lippmann_schwinger_tpu.sparse.stencil_matrix import StencilMatrix2D
 from fast_solver_lippmann_schwinger_tpu.utils.host import to_device_complex
-from fast_solver_lippmann_schwinger_tpu.sparse.stencils import (
-    _assemble_fields,
-    build_annihilator_classes,
-)
 
 
 def subdomain_limits(m: int, n_subs: int):

@@ -25,7 +25,6 @@ from fast_solver_lippmann_schwinger_tpu.ddm.subdomain import (
     partition_source,
 )
 from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
-    BlockTridiagFactorization,
     band_matvec,
     block_thomas_solve,
     block_thomas_solve_tail,

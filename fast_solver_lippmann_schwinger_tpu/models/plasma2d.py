@@ -9,8 +9,6 @@ parameterized so tests run it scaled down.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -23,8 +23,6 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

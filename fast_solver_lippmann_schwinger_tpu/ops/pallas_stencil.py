@@ -17,7 +17,6 @@ CPU, compiled on TPU).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -22,11 +22,8 @@ r + d, filling the pipeline when n_rhs >= n_devices.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fast_solver_lippmann_schwinger_tpu.ddm.subdomain import SlabSystem

@@ -12,7 +12,6 @@ on the norm of the left-preconditioned residual.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional
 
 import jax

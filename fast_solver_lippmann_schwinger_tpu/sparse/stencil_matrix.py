@@ -19,7 +19,6 @@ axis (y in 2D), i is x.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct

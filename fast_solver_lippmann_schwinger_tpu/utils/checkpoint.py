@@ -13,8 +13,6 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
