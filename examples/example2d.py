@@ -46,15 +46,15 @@ def main():
 
     with timer.phase("solve_preconditioned"):
         u, info = bump2d.solve(problem)
-        u.block_until_ready()
-    res = fetch(info.residuals)
+        # host fetch inside the timer: on the tunnel backend
+        # block_until_ready() gates only on dispatch, not execution
+        res = fetch(info.residuals)
     print(f"preconditioned: {int(fetch(info.n_iterations)[()])} iterations")
     print("residuals:", res[res > 0])
 
     with timer.phase("solve_unpreconditioned"):
         u2, info2 = bump2d.solve(problem, preconditioned=False, maxiter=400)
-        u2.block_until_ready()
-    res2 = fetch(info2.residuals)
+        res2 = fetch(info2.residuals)
     print(f"unpreconditioned: {int(fetch(info2.n_iterations)[()])} iterations")
     print("residuals (first 20):", res2[res2 > 0][:20])
     timer.log(grid=problem.grid.shape, k=problem.k)

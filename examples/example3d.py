@@ -41,8 +41,9 @@ def main():
         jax.block_until_ready(problem.precond.factorization.cinv)
     with timer.phase("solve"):
         u, info = bump3d.solve(problem)
-        u.block_until_ready()
-    res = fetch(info.residuals)
+        # host fetch inside the timer: on the tunnel backend
+        # block_until_ready() gates only on dispatch, not execution
+        res = fetch(info.residuals)
     print(f"iterations: {int(fetch(info.n_iterations)[()])}")
     print("residuals:", res[res > 0])
     timer.log(grid=problem.grid.shape, k=problem.k)

@@ -48,12 +48,13 @@ def main():
     for direction in [(1.0, 0.0), (0.0, 1.0)]:
         with timer.phase(f"solve_{direction}"):
             u, info = plasma2d.solve(problem, incident_direction=direction)
-            u.block_until_ready()
+            # host fetch inside the timer: on the tunnel backend
+            # block_until_ready() gates only on dispatch, not execution
+            res = fetch(info.residuals)
         print(
             f"direction {direction}: iterations to convergence = "
             f"{int(fetch(info.n_iterations)[()])}"
         )
-        res = fetch(info.residuals)
         print("residual history:", res[res > 0])
     timer.log(grid=problem.grid.shape, k=problem.k, n_subs=args.subs)
 

@@ -52,12 +52,13 @@ def main():
             u, info = plasma_integral2d.solve(
                 problem, incident_direction=direction
             )
-            u.block_until_ready()
+            # host fetch inside the timer: on the tunnel backend
+            # block_until_ready() gates only on dispatch, not execution
+            res = fetch(info.residuals)
         print(
             f"direction {direction}: outer iterations to convergence = "
             f"{int(fetch(info.n_iterations)[()])}"
         )
-        res = fetch(info.residuals)
         print("residual history:", res[res > 0])
     timer.log(grid=problem.grid.shape, k=problem.k, n_subs=args.subs)
 

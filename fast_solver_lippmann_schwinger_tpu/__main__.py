@@ -69,7 +69,12 @@ def main(argv=None):
         solver_kw["rtol"] = args.rtol
     if args.maxiter is not None:
         solver_kw["maxiter"] = args.maxiter
-    solver_kw["dtype"] = jnp.complex128 if args.x64 else jnp.complex64
+    if "dtype" in solver_kw:
+        # a config-file dtype arrives as a string ("complex64"/"complex128");
+        # --x64 only fills the default, it never clobbers an explicit choice
+        solver_kw["dtype"] = jnp.dtype(solver_kw["dtype"])
+    else:
+        solver_kw["dtype"] = jnp.complex128 if args.x64 else jnp.complex64
     if args.subs is not None:
         ddm_kw["n_subdomains"] = args.subs
     if args.npml is not None:
@@ -99,8 +104,9 @@ def main(argv=None):
         problem = api.build_problem(cfg)
     with timer.phase("solve"):
         u, info = api.solve_problem(problem)
-        u.block_until_ready()
-    res = fetch(info.residuals)
+        # on the tunnel backend block_until_ready() gates only on dispatch;
+        # a host fetch is the real device sync, so it belongs inside the timer
+        res = fetch(info.residuals)
     print(f"iterations to convergence: {int(fetch(info.n_iterations)[()])}")
     print("residual history:", res[res > 0])
     timer.log(grid=list(problem.grid.shape), k=problem.k,

@@ -58,7 +58,6 @@ class Problem:
     k: float
     op: object
     precond: Optional[object]      # object with .apply, or None
-    precond_needs_transpose: bool = False
 
 
 def build_problem(cfg: ProblemConfig) -> Problem:

@@ -221,7 +221,7 @@ def build_fast_convolution_3d(
     )
 
 
-def sample_g_columns(op, indices: np.ndarray) -> jnp.ndarray:
+def sample_g_columns(op, indices: np.ndarray, chunk: int = 64) -> jnp.ndarray:
     """Green's-matrix rows via unit-impulse convolutions, batched.
 
     ``G`` is symmetric, so row j == column j == ``G conv e_j``.  Counterpart
@@ -229,18 +229,44 @@ def sample_g_columns(op, indices: np.ndarray) -> jnp.ndarray:
     ``src/FastConvolution3D.jl:136-160``), with the impulses batched through
     a single vmapped FFT convolution.
 
+    Large batches run as ONE device program: impulses are processed in
+    ``chunk``-sized groups under ``lax.map`` so the extended-grid
+    intermediates stay bounded (chunk * extended-grid complex words)
+    while the whole sweep still costs a single dispatch/compile — on the
+    tunnel backend every distinct-shape dispatch is a multi-minute
+    remote compile, so this is the difference between one compile and
+    one per stencil class.
+
     Returns (len(indices), op.size).
     """
-    indices = jnp.asarray(np.asarray(indices, dtype=np.int64))
+    indices = np.asarray(indices, dtype=np.int64)
+    if indices.shape[0] <= chunk:
+        return _sample_g_columns_jit(op, jnp.asarray(indices))
+    n_chunks = -(-indices.shape[0] // chunk)
+    padded = np.zeros(n_chunks * chunk, dtype=np.int64)  # pad with index 0
+    padded[: indices.shape[0]] = indices
+    rows = _sample_g_columns_chunked_jit(
+        op, jnp.asarray(padded.reshape(n_chunks, chunk))
+    )
+    return rows.reshape(n_chunks * chunk, -1)[: indices.shape[0]]
 
-    # op rides as a jit ARGUMENT and the impulses are built inside the
-    # program: closure-captured device arrays become giant embedded
-    # constants, which the tunnel backend rejects (UNIMPLEMENTED in
-    # ir_constant), and eager complex array creation is unreliable there
-    @jax.jit
-    def _sample(o, idx):
-        eye_rows = jnp.zeros((idx.shape[0], o.size), dtype=o.symbol.dtype)
-        eye_rows = eye_rows.at[jnp.arange(idx.shape[0]), idx].set(1.0)
-        return jax.vmap(o.convolve)(eye_rows)
 
-    return _sample(op, indices)
+def _impulse_rows(o, idx):
+    eye_rows = jnp.zeros((idx.shape[0], o.size), dtype=o.symbol.dtype)
+    eye_rows = eye_rows.at[jnp.arange(idx.shape[0]), idx].set(1.0)
+    return jax.vmap(o.convolve)(eye_rows)
+
+
+# op rides as a jit ARGUMENT and the impulses are built inside the
+# program: closure-captured device arrays become giant embedded
+# constants, which the tunnel backend rejects (UNIMPLEMENTED in
+# ir_constant), and eager complex array creation is unreliable there.
+# Module-level so the trace/compile cache survives across calls.
+@jax.jit
+def _sample_g_columns_jit(o, idx):
+    return _impulse_rows(o, idx)
+
+
+@jax.jit
+def _sample_g_columns_chunked_jit(o, idx2):
+    return jax.lax.map(lambda idx: _impulse_rows(o, idx), idx2)

@@ -155,7 +155,11 @@ def trapezoidal_kernel_2d(n: int, m: int, h: float, k: float,
         d0 = duan_rokhlin_d0(k * h)
     ne = good_fft_size(2 * n - 1) if ne is None else ne
     me = good_fft_size(2 * m - 1) if me is None else me
-    assert ne >= 2 * n - 1 and me >= 2 * m - 1
+    if ne < 2 * n - 1 or me < 2 * m - 1:
+        raise ValueError(
+            f"circulant embedding needs ne >= {2 * n - 1}, me >= {2 * m - 1}; "
+            f"got ({ne}, {me})"
+        )
 
     dx = h * np.arange(-(n - 1), n)          # (2n-1,)
     dy = h * np.arange(-(m - 1), m)          # (2m-1,)
@@ -221,7 +225,11 @@ def gv_symbol_2d(n: int, m: int, h: float, k: float,
     """
     ne = 4 * n if ne is None else ne
     me = 4 * m if me is None else me
-    assert ne >= 4 * n and me >= 4 * m
+    if ne < 4 * n or me < 4 * m:
+        raise ValueError(
+            f"GV extended grid needs ne >= {4 * n}, me >= {4 * m}; "
+            f"got ({ne}, {me})"
+        )
     Lp_x = ne * h
     Lp_y = me * h
     L = truncation_factor * n * h   # = 1.5 * (span + h), span = (n-1) h
@@ -259,10 +267,11 @@ def gv_compact_kernel_2d(n: int, m: int, h: float, k: float,
 
     ne = good_fft_size(2 * n - 1) if ne is None else ne
     me = good_fft_size(2 * m - 1) if me is None else me
-    assert ne >= 2 * n - 1 and me >= 2 * m - 1, (
-        f"compact embedding needs ne >= {2 * n - 1}, me >= {2 * m - 1}; "
-        f"got ({ne}, {me})"
-    )
+    if ne < 2 * n - 1 or me < 2 * m - 1:
+        raise ValueError(
+            f"compact embedding needs ne >= {2 * n - 1}, me >= {2 * m - 1}; "
+            f"got ({ne}, {me})"
+        )
     circ = np.zeros((me, ne), dtype=np.complex128)
     iy = (np.arange(2 * m - 1) - (m - 1)) % me
     ix = (np.arange(2 * n - 1) - (n - 1)) % ne
@@ -316,7 +325,11 @@ def gv_compact_kernel_3d(n: int, m: int, l: int, h: float, k: float,
     ne = good_fft_size(2 * n - 1) if ne is None else ne
     me = good_fft_size(2 * m - 1) if me is None else me
     le = good_fft_size(2 * l - 1) if le is None else le
-    assert ne >= 2 * n - 1 and me >= 2 * m - 1 and le >= 2 * l - 1
+    if ne < 2 * n - 1 or me < 2 * m - 1 or le < 2 * l - 1:
+        raise ValueError(
+            f"compact embedding needs (ne, me, le) >= "
+            f"({2 * n - 1}, {2 * m - 1}, {2 * l - 1}); got ({ne}, {me}, {le})"
+        )
     circ = np.zeros((le, me, ne), dtype=np.complex128)
     ix = (np.arange(2 * n - 1) - (n - 1)) % ne
     iy = (np.arange(2 * m - 1) - (m - 1)) % me

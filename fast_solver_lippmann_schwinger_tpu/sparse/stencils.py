@@ -79,7 +79,7 @@ def build_annihilator_classes(
         [int(np.prod(shape[d + 1 :])) for d in range(ndim)], dtype=np.int64
     )
 
-    classes = []
+    class_defs = []
     for cats in itertools.product((_LO, _MID, _HI), repeat=ndim):
         offsets = list(
             itertools.product(*[_axis_offsets(c) for c in cats])
@@ -89,7 +89,22 @@ def build_annihilator_classes(
             [int(np.dot(rep + np.array(off), strides)) for off in offsets],
             dtype=np.int64,
         )
-        g_rows = np.asarray(sampler(flat))  # (s, N) complex
+        class_defs.append((cats, offsets, flat))
+
+    # ONE sampler call for every class: deduplicated union of all stencil
+    # indices.  Per-class sampling would cost one dispatch per class (27 in
+    # 3D) with 4 distinct impulse-count shapes — each a separate multi-minute
+    # remote compile on the tunnel backend.
+    all_flat = np.concatenate([flat for _, _, flat in class_defs])
+    uniq, inverse = np.unique(all_flat, return_inverse=True)
+    g_uniq = np.asarray(sampler(uniq))  # (len(uniq), N) complex
+
+    classes = []
+    pos = 0
+    for cats, offsets, flat in class_defs:
+        s = len(flat)
+        g_rows = g_uniq[inverse[pos : pos + s]]
+        pos += s
         far = np.ones(N, dtype=bool)
         far[flat] = False
         w = g_rows[:, far]
@@ -138,7 +153,19 @@ def _sampler_conv(op):
     from fast_solver_lippmann_schwinger_tpu.ops.fastconv import sample_g_columns
     from fast_solver_lippmann_schwinger_tpu.utils.host import fetch
 
-    return lambda idx: fetch(sample_g_columns(op, idx)).astype(np.complex128)
+    def sample(idx):
+        rows = sample_g_columns(op, idx)
+        c, size = rows.shape
+        # tunnel-safe fetch: slabs of <= ~24 MB complex64 per transfer
+        per = max(1, int(3_000_000 // max(size, 1)))
+        if c <= per:
+            return fetch(rows).astype(np.complex128)
+        out = np.empty((c, size), dtype=np.complex128)
+        for i0 in range(0, c, per):
+            out[i0 : i0 + per] = fetch(rows[i0 : i0 + per])
+        return out
+
+    return sample
 
 
 def build_sparse_a_ag_2d(
@@ -232,14 +259,39 @@ def build_sparse_a_ag_3d(
     k: float,
     conv_op,
     dtype=jnp.complex64,
+    cache_dir: str | None = None,
 ):
     """3D annihilator fields via impulse sampling through the 3D fast
     operator (reference ``entriesSparseA3D``/``buildSparseA3DConv``/
-    ``buildSparseAG3DConv``, ``src/SparsifyingMatrix3D.jl:963-1659``)."""
+    ``buildSparseAG3DConv``, ``src/SparsifyingMatrix3D.jl:963-1659``).
+
+    ``cache_dir`` persists the host stencil fields to disk (keyed on the
+    configuration) so repeat setups skip the impulse sampling."""
     shape = (conv_op.l, conv_op.m, conv_op.n)
+    cache_path = None
+    if cache_dir is not None:
+        import os
+
+        from fast_solver_lippmann_schwinger_tpu.utils import checkpoint
+
+        key = checkpoint.config_key(
+            kind="a_ag_3d", k=k, shape=shape,
+            sampling=f"conv_{conv_op.quad_rule}_{conv_op.symbol.shape}",
+        )
+        cache_path = os.path.join(cache_dir, f"stencils_{key}.npz")
+        cached = checkpoint.load_arrays(cache_path)
+        if cached is not None and len(cached) == 2:
+            return (
+                StencilMatrix3D(values=to_device_complex(cached[0], dtype)),
+                StencilMatrix3D(values=to_device_complex(cached[1], dtype)),
+            )
     sampler = _sampler_conv(conv_op)
     classes = build_annihilator_classes(sampler, shape)
     a_field, ag_field = _assemble_fields(classes, shape)
+    if cache_path is not None:
+        from fast_solver_lippmann_schwinger_tpu.utils import checkpoint
+
+        checkpoint.save_arrays(cache_path, [a_field, ag_field])
     return (
         StencilMatrix3D(values=to_device_complex(a_field, dtype)),
         StencilMatrix3D(values=to_device_complex(ag_field, dtype)),
