@@ -18,6 +18,13 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=48)
+    ap.add_argument("--precond", default="sparsifying",
+                    choices=["sparsifying", "gs"],
+                    help="'gs' = 3D z-slab sweep (beyond the reference)")
+    ap.add_argument("--subs", type=int, default=4)
+    ap.add_argument("--npml", type=int, default=5)
+    ap.add_argument("--cache-dir", default=None,
+                    help="persist/reuse stencil fields (skips sampling)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--x64", action="store_true")
     args = ap.parse_args()
@@ -37,8 +44,13 @@ def main():
     dtype = jnp.complex128 if args.x64 else jnp.complex64
     timer = PhaseTimer()
     with timer.phase("setup"):
-        problem = bump3d.build_problem(h=1.0 / args.n, dtype=dtype)
-        jax.block_until_ready(problem.precond.factorization.cinv)
+        problem = bump3d.build_problem(
+            h=1.0 / args.n, dtype=dtype, precond=args.precond,
+            n_subdomains=args.subs, npml=args.npml, cache_dir=args.cache_dir,
+        )
+        pc = problem.precond
+        cinv = pc.factorization.cinv if hasattr(pc, "factorization") else pc.slabs.fac.cinv
+        jax.block_until_ready(cinv)
     with timer.phase("solve"):
         u, info = bump3d.solve(problem)
         # host fetch inside the timer: on the tunnel backend

@@ -22,6 +22,10 @@ from fast_solver_lippmann_schwinger_tpu.ddm.polarized import (
     PolarizedTracesPreconditioner,
 )
 from fast_solver_lippmann_schwinger_tpu.ddm.subdomain import build_slab_system
+from fast_solver_lippmann_schwinger_tpu.ddm.subdomain3d import (
+    SingleSweepPreconditioner3D,
+    build_slab_system_3d,
+)
 from fast_solver_lippmann_schwinger_tpu.ddm.sweeps import (
     DoubleSweepPreconditioner,
     SingleSweepPreconditioner,
@@ -85,14 +89,24 @@ def build_problem(cfg: ProblemConfig) -> Problem:
     if cfg.precond == "none":
         pass
     elif cfg.dim == 3:
-        if cfg.precond != "sparsifying":
+        if cfg.precond not in ("sparsifying", "gs"):
             raise ValueError(
-                "3D supports precond='sparsifying' or 'none' "
-                "(the reference's DDM is 2D-only, SURVEY.md section 2)"
+                "3D supports precond='sparsifying', 'gs' (z-slab sweep) or "
+                "'none' (the reference's polarized-traces DDM is 2D-only, "
+                "SURVEY.md section 2; the 'gs' sweep is a capability this "
+                "framework adds beyond the reference)"
             )
         a_st, ag_st = stencils.build_sparse_a_ag_3d(k, op, dtype=dtype)
-        msp = stencils.build_msp_3d(a_st, ag_st, nu, k)
-        precond = SparsifyingPreconditioner3D.build(msp, a_st)
+        if cfg.precond == "gs":
+            slabs3 = build_slab_system_3d(
+                a_st, ag_st, nu, grid.x, cfg.h, k,
+                cfg.ddm.n_subdomains, npml=cfg.ddm.npml,
+                shift_factor=cfg.ddm.shift_factor,
+            )
+            precond = SingleSweepPreconditioner3D(slabs=slabs3, a_s=a_st)
+        else:
+            msp = stencils.build_msp_3d(a_st, ag_st, nu, k)
+            precond = SparsifyingPreconditioner3D.build(msp, a_st)
     elif cfg.precond == "sparsifying":
         a_st, ag_st = stencils.build_sparse_a_ag_2d(
             k, grid.x, grid.y, cfg.h, dtype=dtype

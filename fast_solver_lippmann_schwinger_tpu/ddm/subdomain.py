@@ -46,7 +46,8 @@ def subdomain_limits(m: int, n_subs: int):
 def _spline_cutoff(t: np.ndarray) -> np.ndarray:
     """C^1 cubic cutoff: 1 for t<0, 2t^3-3t^2+1 on [0,1), 0 beyond
     (``src/subdomains.jl:46``)."""
-    inside = (t >= 0) & (t < 1)
+    t = np.clip(t, -1.0, 2.0)   # the cubic only matters on [0, 1); clipping
+    inside = (t >= 0) & (t < 1)  # avoids overflow when knots coincide (inf/1e-300)
     return np.where(t < 0, 1.0, np.where(inside, 2 * t ** 3 - 3 * t ** 2 + 1, 0.0))
 
 

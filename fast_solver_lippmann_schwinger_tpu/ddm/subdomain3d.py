@@ -1,0 +1,367 @@
+"""3D slab subdomains + Gauss-Seidel sweeping preconditioner.
+
+The reference ships NO 3D domain decomposition: its
+``examples/example3D_Polarized_traces.jl`` is a comment-only duplicate of
+``examples/example3D.jl`` and no 3D ``Subdomain`` exists (see SURVEY.md
+section 2 dead-code notes).  This module supplies the missing capability
+TPU-natively, extending the 2D construction (``src/subdomains.jl:2-107``
+semantics) by one dimension:
+
+* the domain is cut into z-slabs, each extended by ``npml`` absorbing
+  planes where the medium is tapered by the same cubic-spline cutoff and
+  quadratic complex shift as 2D (``src/subdomains.jl:46-68``);
+* the local matrix is the sparsified global operator restricted to the
+  slab with its first/last two PLANES replaced by the global boundary
+  (annihilator) rows (2D: lines, ``src/subdomains.jl:76-86``);
+* interface traces are (m, n) planes; inter-plane couplings are 9-point
+  in-plane stencils instead of tridiagonal bands;
+* local solves are plane block-Thomas factorizations
+  (``sparse/direct.py:factor_stencil_3d``), batched over slabs.
+
+The sweep recursion is structurally identical to the 2D
+``precondGSOptimized`` (``src/preconditioner.jl:557-630``) with
+line -> plane substitutions.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from fast_solver_lippmann_schwinger_tpu.ddm.subdomain import (
+    _filter_profile,
+    _shift_profile,
+    subdomain_limits,
+)
+from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
+    BlockTridiagFactorization3D,
+    _plane_stencil_matvec,
+    block_thomas_solve_3d,
+    factor_stencil_3d,
+)
+from fast_solver_lippmann_schwinger_tpu.sparse.stencil_matrix import StencilMatrix3D
+from fast_solver_lippmann_schwinger_tpu.utils.host import to_device_complex
+
+
+def absorbing_nu_3d(nu_slab: np.ndarray, z1: np.ndarray, h: float, k: float,
+                    ndelta: int, is_bottom: bool, is_top: bool,
+                    shift_factor: float = 2.0) -> np.ndarray:
+    """Cutoff + complex-shifted medium on the extended z-slab.
+
+    The 1D profiles along z are exactly the 2D ones
+    (``src/subdomains.jl:46-68``), broadcast over the (m, n) plane.
+    """
+    l1 = len(z1)
+    if is_bottom:
+        a1, b1 = z1[0] - h, z1[0]
+        s1 = z1[0] - h
+    else:
+        a1, b1 = z1[2], z1[ndelta - 3]
+        s1 = z1[ndelta - 3]
+    if is_top:
+        b2, a2 = z1[l1 - 1], z1[l1 - 1] + h
+        s2 = z1[l1 - 1] + h
+    else:
+        b2, a2 = z1[l1 - ndelta + 1], z1[l1 - 3]
+        s2 = z1[l1 - ndelta + 1]
+    filt = _filter_profile(a1, b1, b2, a2, z1)
+    shift = _shift_profile(s1, s2, z1)
+    return filt[:, None, None] * (
+        nu_slab - (shift_factor * k) * 1j * shift[:, None, None]
+    )
+
+
+@struct.dataclass
+class SlabSystem3D:
+    """All z-slabs, batched and end-padded (3D analog of ``SlabSystem``)."""
+
+    fac: BlockTridiagFactorization3D  # batched: cinv (S, l1_max, mn, mn), ...
+    # trace-plane indices (0-based local planes); clamped to 0 where absent
+    l0: jnp.ndarray                # (S,)
+    l1: jnp.ndarray
+    ln: jnp.ndarray
+    lnp: jnp.ndarray
+    has_top: jnp.ndarray           # (S,) bool: slab has an upper neighbor -1
+    has_bot: jnp.ndarray           # (S,) bool: slab has a lower neighbor +1
+    src_plane: jnp.ndarray         # (S, l1_max) int32 global plane owned
+    src_valid: jnp.ndarray         # (S, l1_max) bool
+    owner: jnp.ndarray             # (l,) int32
+    owner_plane: jnp.ndarray       # (l,) int32
+    # coupling stencils at the trace planes (S, m, n, 3, 3)
+    cpl_01: jnp.ndarray            # H[ind_0, ind_1]
+    cpl_10: jnp.ndarray            # H[ind_1, ind_0]
+    cpl_n_np: jnp.ndarray          # H[ind_n, ind_np]
+    cpl_np_n: jnp.ndarray          # H[ind_np, ind_n]
+    n: int = struct.field(pytree_node=False)
+    m: int = struct.field(pytree_node=False)
+    l: int = struct.field(pytree_node=False)
+    n_subs: int = struct.field(pytree_node=False)
+    l1_max: int = struct.field(pytree_node=False)
+
+
+def build_slab_system_3d(
+    a_st: StencilMatrix3D,
+    ag_st: StencilMatrix3D,
+    nu: np.ndarray,
+    z: np.ndarray,
+    h: float,
+    k: float,
+    n_subs: int,
+    npml: int = 5,
+    shift_factor: float = 2.0,
+    a_host: np.ndarray | None = None,
+    ag_host: np.ndarray | None = None,
+) -> SlabSystem3D:
+    """Construct and factor all z-slabs (3D analog of ``build_slab_system``)."""
+    l, m, n = a_st.l, a_st.m, a_st.n
+    dtype = a_st.values.dtype
+    nu = np.asarray(nu).reshape(l, m, n)
+    z = np.asarray(z)
+    if a_host is not None and ag_host is not None:
+        a_vals, ag_vals = np.asarray(a_host), np.asarray(ag_host)
+    else:
+        from fast_solver_lippmann_schwinger_tpu.utils.host import fetch
+
+        a_vals = fetch(a_st.values)
+        ag_vals = fetch(ag_st.values)
+
+    ind1, indn = subdomain_limits(l, n_subs)
+    kstart = np.maximum(ind1 - npml, 0)
+    kend = np.minimum(indn + npml, l - 1)
+    l1 = kend - kstart + 1
+    l1_max = int(l1.max())
+
+    S = n_subs
+    h_sten = np.zeros((S, l1_max, m, n, 3, 3, 3), dtype=np.complex128)
+    pl0 = np.full(S, -1, np.int32)
+    pl1 = np.full(S, -1, np.int32)
+    pln = np.full(S, -1, np.int32)
+    plnp = np.full(S, -1, np.int32)
+    src_plane = np.zeros((S, l1_max), np.int32)
+    src_valid = np.zeros((S, l1_max), bool)
+    owner = np.zeros(l, np.int32)
+    owner_plane = np.zeros(l, np.int32)
+
+    for s in range(S):
+        ks, ke = int(kstart[s]), int(kend[s])
+        lsl = int(l1[s])
+        z1 = z[ks : ke + 1]
+        is_bottom = ind1[s] == 0
+        is_top = indn[s] == l - 1
+
+        # slab stencil classes by plane: plane 0 -> global z-LO classes,
+        # plane lsl-1 -> z-HI classes, interior planes -> z-MID classes
+        # (the global fields are class-constant in z away from the two
+        # boundary planes, so slicing them realizes exactly this)
+        mid = (l - 1) // 2
+        a_slab = np.empty((lsl, m, n, 3, 3, 3), np.complex128)
+        ag_slab = np.empty_like(a_slab)
+        a_slab[:] = a_vals[mid][None]
+        ag_slab[:] = ag_vals[mid][None]
+        a_slab[0] = a_vals[0]
+        ag_slab[0] = ag_vals[0]
+        a_slab[lsl - 1] = a_vals[l - 1]
+        ag_slab[lsl - 1] = ag_vals[l - 1]
+
+        nu_loc = absorbing_nu_3d(
+            nu[ks : ke + 1], z1, h, k, npml, is_bottom, is_top, shift_factor
+        )
+        nu_bc = nu_loc.copy()
+        if not is_bottom:
+            nu_bc[0] = nu[0]
+            nu_bc[1] = nu[1]
+        if not is_top:
+            nu_bc[lsl - 2] = nu[l - 2]
+            nu_bc[lsl - 1] = nu[l - 1]
+
+        bc_rows = np.zeros(lsl, bool)
+        if not is_bottom:
+            bc_rows[[0, 1]] = True
+        if not is_top:
+            bc_rows[[lsl - 2, lsl - 1]] = True
+
+        def col_field(nu_field):
+            nup = np.pad(nu_field, ((1, 1), (1, 1), (1, 1)))
+            cols = np.empty((lsl, m, n, 3, 3, 3), np.complex128)
+            for dk in range(3):
+                for dj in range(3):
+                    for di in range(3):
+                        cols[:, :, :, dk, dj, di] = nup[
+                            dk : dk + lsl, dj : dj + m, di : di + n
+                        ]
+            return cols
+
+        cols = np.where(
+            bc_rows[:, None, None, None, None, None],
+            col_field(nu_bc),
+            col_field(nu_loc),
+        )
+        h_sten[s, :lsl] = a_slab + (k ** 2) * ag_slab * cols
+        # identity padding planes
+        h_sten[s, lsl:, :, :, 1, 1, 1] = 1.0
+
+        if not is_bottom:
+            pl0[s] = npml - 1
+            pl1[s] = npml
+        if not is_top:
+            pln[s] = lsl - npml - 1
+            plnp[s] = lsl - npml
+
+        int_lo = int(ind1[s] - ks)
+        int_hi = int(indn[s] - ks)
+        for ell in range(int_lo, int_hi + 1):
+            src_plane[s, ell] = ks + ell
+            src_valid[s, ell] = True
+            owner[ks + ell] = s
+            owner_plane[ks + ell] = ell
+
+    def plane_coupling(planes, dk):
+        out = np.zeros((S, m, n, 3, 3), np.complex128)
+        for s in range(S):
+            if planes[s] >= 0:
+                out[s] = h_sten[s, planes[s], :, :, dk, :, :]
+        return out
+
+    cpl_01 = plane_coupling(pl0, 2)
+    cpl_10 = plane_coupling(pl1, 0)
+    cpl_n_np = plane_coupling(pln, 2)
+    cpl_np_n = plane_coupling(plnp, 0)
+
+    h_dev = to_device_complex(h_sten, dtype)
+    fac = jax.jit(
+        jax.vmap(lambda v: factor_stencil_3d(StencilMatrix3D(values=v)))
+    )(h_dev)
+
+    return SlabSystem3D(
+        fac=fac,
+        l0=jnp.asarray(np.maximum(pl0, 0)),
+        l1=jnp.asarray(np.maximum(pl1, 0)),
+        ln=jnp.asarray(np.maximum(pln, 0)),
+        lnp=jnp.asarray(np.maximum(plnp, 0)),
+        has_top=jnp.asarray(pl0 >= 0),
+        has_bot=jnp.asarray(pln >= 0),
+        src_plane=jnp.asarray(src_plane),
+        src_valid=jnp.asarray(src_valid),
+        owner=jnp.asarray(owner),
+        owner_plane=jnp.asarray(owner_plane),
+        cpl_01=to_device_complex(cpl_01, dtype),
+        cpl_10=to_device_complex(cpl_10, dtype),
+        cpl_n_np=to_device_complex(cpl_n_np, dtype),
+        cpl_np_n=to_device_complex(cpl_np_n, dtype),
+        n=n,
+        m=m,
+        l=l,
+        n_subs=S,
+        l1_max=l1_max,
+    )
+
+
+def partition_source_3d(slabs: SlabSystem3D, b: jnp.ndarray) -> jnp.ndarray:
+    """Scatter a global (l*m*n,) source into per-slab interior planes."""
+    bg = b.reshape(slabs.l, slabs.m * slabs.n)
+    gathered = bg[slabs.src_plane]                      # (S, l1_max, mn)
+    return jnp.where(slabs.src_valid[..., None], gathered, 0.0)
+
+
+def gather_interior_3d(slabs: SlabSystem3D, fields: jnp.ndarray) -> jnp.ndarray:
+    """Collect per-slab (S, l1_max, mn) fields back to a flat global vector."""
+    out = fields[slabs.owner, slabs.owner_plane]        # (l, mn)
+    return out.reshape(slabs.l * slabs.m * slabs.n)
+
+
+def _fac_at(fac, i):
+    return jax.tree_util.tree_map(lambda a: a[i], fac)
+
+
+def _slab_xs(slabs: SlabSystem3D):
+    # loop-invariant factorization stacks are indexed inside the bodies,
+    # not threaded through scan xs (multi-GB at production sizes)
+    return dict(
+        idx=jnp.arange(slabs.n_subs),
+        l0=slabs.l0, l1=slabs.l1, ln=slabs.ln, lnp=slabs.lnp,
+        has_top=slabs.has_top, has_bot=slabs.has_bot,
+        cpl_01=slabs.cpl_01, cpl_10=slabs.cpl_10,
+        cpl_n_np=slabs.cpl_n_np, cpl_np_n=slabs.cpl_np_n,
+    )
+
+
+def _cpl_apply(sten, plane, m, n):
+    """Apply an (m, n, 3, 3) inter-plane coupling stencil to a flat plane."""
+    return _plane_stencil_matvec(sten, plane.reshape(m, n)).ravel()
+
+
+def gs_sweep_3d(slabs: SlabSystem3D, b: jnp.ndarray) -> jnp.ndarray:
+    """One optimized Gauss-Seidel down/up sweep over z-slabs:
+    ``u ~ Msp^{-1} b`` (plane-trace analog of ``precondGSOptimized``,
+    ``src/preconditioner.jl:557-630``)."""
+    rhs0 = partition_source_3d(slabs, b)   # (S, l1_max, mn)
+    dtype = rhs0.dtype
+    m, n = slabs.m, slabs.n
+    mn = m * n
+
+    def down_step(carry, xs):
+        u_n_prev, u_np_prev = carry
+        rhs = xs["rhs"]
+        add0 = _cpl_apply(xs["cpl_01"], u_np_prev, m, n)
+        add1 = -_cpl_apply(xs["cpl_10"], u_n_prev, m, n)
+        zero = jnp.zeros_like(add0)
+        rhs = rhs.at[xs["l0"]].add(jnp.where(xs["has_top"], add0, zero))
+        rhs = rhs.at[xs["l1"]].add(jnp.where(xs["has_top"], add1, zero))
+        v = block_thomas_solve_3d(_fac_at(slabs.fac, xs["idx"]), rhs)
+        v = v.reshape(slabs.l1_max, mn)
+        return (v[xs["ln"]], v[xs["lnp"]]), (rhs, v[xs["lnp"]])
+
+    zeros_p = jnp.zeros((mn,), dtype)
+    xs = dict(_slab_xs(slabs), rhs=rhs0)
+    (_, _), (rhs_down, u_np_all) = jax.lax.scan(down_step, (zeros_p, zeros_p), xs)
+
+    u_np_above = jnp.concatenate([zeros_p[None], u_np_all[:-1]], axis=0)
+
+    def up_step(carry, xs):
+        u_0_next, u_1_next = carry
+        rhs = xs["rhs"]
+        addnp = _cpl_apply(xs["cpl_np_n"], u_0_next, m, n)
+        addn = -_cpl_apply(xs["cpl_n_np"], u_1_next, m, n)
+        zero = jnp.zeros_like(addnp)
+        rhs = rhs.at[xs["lnp"]].add(jnp.where(xs["has_bot"], addnp, zero))
+        rhs = rhs.at[xs["ln"]].add(jnp.where(xs["has_bot"], addn, zero))
+        u = block_thomas_solve_3d(_fac_at(slabs.fac, xs["idx"]), rhs)
+        u = u.reshape(slabs.l1_max, mn)
+        u_0 = u[xs["l0"]]
+        u_1 = u[xs["l1"]] - xs["u_np_above"]   # reflection correction
+        return (u_0, u_1), u
+
+    xs_up = dict(_slab_xs(slabs), rhs=rhs_down, u_np_above=u_np_above)
+    (_, _), u = jax.lax.scan(up_step, (zeros_p, zeros_p), xs_up, reverse=True)
+    return gather_interior_3d(slabs, u)
+
+
+@struct.dataclass
+class GSPreconditioner3D:
+    """Single-direction z-sweep preconditioner for the sparsified 3D system."""
+
+    slabs: SlabSystem3D
+
+    def apply(self, b: jnp.ndarray) -> jnp.ndarray:
+        return gs_sweep_3d(self.slabs, b)
+
+    def __call__(self, b):
+        return self.apply(b)
+
+
+@struct.dataclass
+class SingleSweepPreconditioner3D:
+    """``b -> GS_sweep_3d(As b)`` — the z-sweep applied to the full 3D LS
+    system (3D analog of the 2D ``SingleSweepPreconditioner``; capability
+    the reference advertises but never implements)."""
+
+    slabs: SlabSystem3D
+    a_s: StencilMatrix3D
+
+    def apply(self, b: jnp.ndarray) -> jnp.ndarray:
+        return gs_sweep_3d(self.slabs, self.a_s.matvec(b))
+
+    def __call__(self, b):
+        return self.apply(b)

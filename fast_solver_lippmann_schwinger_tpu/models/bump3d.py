@@ -33,7 +33,7 @@ class Bump3DProblem:
     grid: Grid3D
     k: float
     op: LippmannSchwinger3D
-    precond: Optional[SparsifyingPreconditioner3D]
+    precond: Optional[object]   # SparsifyingPreconditioner3D | SingleSweepPreconditioner3D
     rhs: jnp.ndarray
     u_inc: jnp.ndarray
 
@@ -42,7 +42,14 @@ def build_problem(
     h: float = 1.0 / 48.0,
     dtype=jnp.complex64,
     with_preconditioner: bool = True,
+    precond: str = "sparsifying",
+    n_subdomains: int = 4,
+    npml: int = 5,
+    cache_dir: str | None = None,
 ) -> Bump3DProblem:
+    """``precond``: 'sparsifying' (full-grid factorization, reference
+    ``examples/example3D.jl`` semantics) or 'gs' (z-slab sweep — 3D DDM
+    capability beyond the reference)."""
     grid = Grid3D(a=1.0, h=h)
     k = 1.0 / h
     X, Y, Z = grid.mesh()
@@ -52,11 +59,25 @@ def build_problem(
         grid.x, grid.x, grid.x, h, k, nu, dtype=dtype
     )
 
-    precond = None
+    pc = None
     if with_preconditioner:
-        a_st, ag_st = stencils.build_sparse_a_ag_3d(k, op, dtype=dtype)
-        msp = stencils.build_msp_3d(a_st, ag_st, nu, k)
-        precond = SparsifyingPreconditioner3D.build(msp, a_st)
+        a_st, ag_st = stencils.build_sparse_a_ag_3d(
+            k, op, dtype=dtype, cache_dir=cache_dir
+        )
+        if precond == "gs":
+            from fast_solver_lippmann_schwinger_tpu.ddm.subdomain3d import (
+                SingleSweepPreconditioner3D,
+                build_slab_system_3d,
+            )
+
+            slabs = build_slab_system_3d(
+                a_st, ag_st, nu, grid.x, h, k, n_subdomains, npml=npml
+            )
+            pc = SingleSweepPreconditioner3D(slabs=slabs, a_s=a_st)
+        else:
+            msp = stencils.build_msp_3d(a_st, ag_st, nu, k)
+            pc = SparsifyingPreconditioner3D.build(msp, a_st)
+    precond = pc
 
     u_inc = to_device_complex(np.exp(1j * k * X.ravel()), dtype)
     rhs = jax.jit(lambda o, ui: -(o.apply(ui) - ui))(op, u_inc)

@@ -1,0 +1,85 @@
+"""3D z-slab DDM sweep tests (capability beyond the reference: its
+``examples/example3D_Polarized_traces.jl`` is an empty duplicate and no 3D
+``Subdomain`` exists — SURVEY.md section 2 dead-code notes)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fast_solver_lippmann_schwinger_tpu.ddm.subdomain3d import (
+    GSPreconditioner3D,
+    SingleSweepPreconditioner3D,
+    build_slab_system_3d,
+    gather_interior_3d,
+    gs_sweep_3d,
+    partition_source_3d,
+)
+from fast_solver_lippmann_schwinger_tpu.models import media
+from fast_solver_lippmann_schwinger_tpu.ops.fastconv import build_fast_convolution_3d
+from fast_solver_lippmann_schwinger_tpu.solver.gmres import gmres
+from fast_solver_lippmann_schwinger_tpu.sparse import stencils
+
+NN = 17
+K = 8.0
+
+
+@pytest.fixture(scope="module")
+def setup_3d():
+    h = 1.0 / (NN - 1)
+    x = np.linspace(0.0, 1.0, NN)
+    Z, Y, X = np.meshgrid(x, x, x, indexing="ij")
+    nu = media.gaussian_bump_3d(X, Y, Z)
+    op = build_fast_convolution_3d(x, x, x, h, K, nu, dtype=jnp.complex128)
+    a_st, ag_st = stencils.build_sparse_a_ag_3d(K, op, dtype=jnp.complex128)
+    msp = stencils.build_msp_3d(a_st, ag_st, nu, K)
+    slabs = build_slab_system_3d(a_st, ag_st, nu, x, h, K, n_subs=2, npml=5)
+    return dict(op=op, a=a_st, ag=ag_st, msp=msp, slabs=slabs, X=X, h=h)
+
+
+def test_partition_gather_roundtrip(setup_3d):
+    slabs = setup_3d["slabs"]
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.standard_normal(NN ** 3) + 1j * rng.standard_normal(NN ** 3))
+    fields = partition_source_3d(slabs, b)
+    back = gather_interior_3d(slabs, fields)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(b), atol=1e-14)
+
+
+def test_sweep_preconditions_msp(setup_3d):
+    """One z-sweep must make GMRES on Msp converge in O(10) iterations."""
+    msp, slabs = setup_3d["msp"], setup_3d["slabs"]
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal(NN ** 3) + 1j * rng.standard_normal(NN ** 3))
+    pre = GSPreconditioner3D(slabs=slabs)
+    x, info = jax.jit(
+        lambda m_, p_, bb: gmres(
+            m_.matvec, bb, preconditioner=p_.apply,
+            rtol=1e-9, restart=30, maxiter=30,
+        )
+    )(msp, pre, b)
+    assert int(info.n_iterations) <= 15
+    resid = np.asarray(msp.matvec(x) - b)
+    assert np.linalg.norm(resid) / np.linalg.norm(np.asarray(b)) < 1e-8
+
+
+def test_end_to_end_3d_sweep_solve(setup_3d):
+    """Full 3D LS solve with the z-sweep preconditioner: few iterations and
+    the solution matches the sparsifying-preconditioner solve."""
+    op, a_st, slabs = setup_3d["op"], setup_3d["a"], setup_3d["slabs"]
+    X = setup_3d["X"]
+    u_inc = jnp.asarray(np.exp(1j * K * X.ravel()))
+    rhs = -(op.apply(u_inc) - u_inc)
+
+    pre = SingleSweepPreconditioner3D(slabs=slabs, a_s=a_st)
+    u, info = jax.jit(
+        lambda o_, p_, r_: gmres(
+            o_.apply, r_, preconditioner=p_.apply,
+            rtol=1e-8, restart=30, maxiter=60,
+        )
+    )(op, pre, rhs)
+    assert int(info.n_iterations) <= 12
+
+    # unpreconditioned-operator residual is the ground truth
+    resid = np.asarray(op.apply(u) - rhs)
+    assert np.linalg.norm(resid) / np.linalg.norm(np.asarray(rhs)) < 1e-6
