@@ -143,6 +143,7 @@ def build_slab_system(
     a_host: np.ndarray | None = None,
     ag_host: np.ndarray | None = None,
     pivot_dtype: str = "full",
+    pivot_band: int | None = None,
 ) -> SlabSystem:
     """Construct and factor all slabs of one sweep direction.
 
@@ -281,6 +282,19 @@ def build_slab_system(
             jax.vmap(
                 lambda v: compress_factorization(
                     factor_stencil_2d(StencilMatrix2D(values=v))
+                )
+            )
+        )(h_dev)
+    elif pivot_dtype == "banded":
+        from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
+            compress_factorization_banded,
+        )
+
+        width = pivot_band if pivot_band is not None else max(n // 8, 33)
+        fac = jax.jit(
+            jax.vmap(
+                lambda v: compress_factorization_banded(
+                    factor_stencil_2d(StencilMatrix2D(values=v)), width
                 )
             )
         )(h_dev)

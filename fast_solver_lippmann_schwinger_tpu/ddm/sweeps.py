@@ -27,6 +27,8 @@ from fast_solver_lippmann_schwinger_tpu.ddm.subdomain import (
 from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
     band_matvec,
     block_thomas_solve,
+    block_thomas_solve_cached,
+    block_thomas_solve_resume,
     block_thomas_solve_tail,
 )
 from fast_solver_lippmann_schwinger_tpu.sparse.stencil_matrix import StencilMatrix2D
@@ -74,17 +76,22 @@ def gs_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
         zero = jnp.zeros_like(add0)
         rhs = rhs.at[xs["l0"]].add(jnp.where(xs["has_top"], add0, zero))
         rhs = rhs.at[xs["l1"]].add(jnp.where(xs["has_top"], add1, zero))
-        # down solves only consume bottom traces: truncated backward pass
-        v = block_thomas_solve_tail(
+        # down solves only consume bottom traces: truncated backward pass;
+        # the forward-pass stacks are cached so the up solve (whose rhs
+        # differs only at the bottom trace lines) can resume instead of
+        # redoing the full forward substitution
+        v, y_c, t_c = block_thomas_solve_cached(
             _fac_at(slabs.fac, xs["idx"]), rhs, slabs.trace_tail
         )
         u_n = v[xs["ln"]]
         u_np = v[xs["lnp"]]
-        return (u_n, u_np), (rhs, u_np)
+        return (u_n, u_np), (rhs, u_np, y_c, t_c)
 
     zeros_n = jnp.zeros((n,), dtype)
     xs = dict(_slab_xs(slabs), rhs=rhs0)
-    (_, _), (rhs_down, u_np_all) = jax.lax.scan(down_step, (zeros_n, zeros_n), xs)
+    (_, _), (rhs_down, u_np_all, y_all, t_all) = jax.lax.scan(
+        down_step, (zeros_n, zeros_n), xs
+    )
 
     # u_np of the slab ABOVE (s-1), used for the reflection correction
     u_np_above = jnp.concatenate([zeros_n[None], u_np_all[:-1]], axis=0)
@@ -97,12 +104,19 @@ def gs_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
         zero = jnp.zeros_like(addnp)
         rhs = rhs.at[xs["lnp"]].add(jnp.where(xs["has_bot"], addnp, zero))
         rhs = rhs.at[xs["ln"]].add(jnp.where(xs["has_bot"], addn, zero))
-        u = block_thomas_solve(_fac_at(slabs.fac, xs["idx"]), rhs)
+        # rhs differs from the down solve's only at lines >= ln: resume the
+        # cached forward pass there (bit-identical, ~m1/trace_tail x fewer
+        # forward pivot applications)
+        u = block_thomas_solve_resume(
+            _fac_at(slabs.fac, xs["idx"]), rhs, xs["y_c"], xs["t_c"],
+            slabs.trace_tail,
+        )
         u_0 = u[xs["l0"]]
         u_1 = u[xs["l1"]] - xs["u_np_above"]
         return (u_0, u_1), u
 
-    xs_up = dict(_slab_xs(slabs), rhs=rhs_down, u_np_above=u_np_above)
+    xs_up = dict(_slab_xs(slabs), rhs=rhs_down, u_np_above=u_np_above,
+                 y_c=y_all, t_c=t_all)
     # reverse=True avoids materializing reversed copies of the batched
     # factorizations (multi-GB at production sizes)
     (_, _), u = jax.lax.scan(up_step, (zeros_n, zeros_n), xs_up, reverse=True)

@@ -42,6 +42,7 @@ def build_problem(
     dtype=jnp.complex64,
     double_sweep: bool = True,
     pivot_dtype: str = "full",
+    pivot_band: int | None = None,
 ) -> Plasma2DProblem:
     """``double_sweep=False`` uses the single-direction GS sweep composite
     (reference ``Preconditioner``/``GSPreconditioner`` family) — half the
@@ -62,6 +63,7 @@ def build_problem(
     slabs = build_slab_system(
         a_st, ag_st, nu, grid.x, grid.y, h, k, n_subdomains, npml=npml,
         a_host=a_np, ag_host=ag_np, pivot_dtype=pivot_dtype,
+        pivot_band=pivot_band,
     )
     if double_sweep:
         slabs_t = build_slab_system(
@@ -69,6 +71,7 @@ def build_problem(
             grid.y, grid.x, h, k, n_subdomains, npml=npml,
             a_host=a_np.transpose(1, 0, 3, 2),
             ag_host=ag_np.transpose(1, 0, 3, 2), pivot_dtype=pivot_dtype,
+            pivot_band=pivot_band,
         )
         precond = DoubleSweepPreconditioner(
             slabs=slabs, slabs_t=slabs_t, msp=msp, a_s=a_st

@@ -29,8 +29,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from fast_solver_lippmann_schwinger_tpu.ddm.subdomain import SlabSystem
 from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
     band_matvec,
-    block_thomas_solve,
-    block_thomas_solve_tail,
+    block_thomas_solve_cached,
+    block_thomas_solve_resume,
 )
 
 
@@ -91,6 +91,8 @@ def sharded_gs_sweep(slabs: SlabSystem, b: jnp.ndarray, mesh: Mesh,
         # ---- down sweep ----
         u_n, u_np = zeros_n, zeros_n
         u_np_all = jnp.zeros((k, n), dtype)
+        y_all = jnp.zeros((k, slabs.m1_max, n), dtype)
+        t_all = jnp.zeros((k, slabs.m1_max, n), dtype)
         for s in range(S):
             owner, li = s // k, s % k
             sl = _local_slab(slab_shard, li)
@@ -99,7 +101,9 @@ def sharded_gs_sweep(slabs: SlabSystem, b: jnp.ndarray, mesh: Mesh,
             add1 = -band_matvec(sl.cpl_10, u_n)
             rhs = rhs.at[sl.l0].add(jnp.where(sl.has_top, add0, zeros_n))
             rhs = rhs.at[sl.l1].add(jnp.where(sl.has_top, add1, zeros_n))
-            v = block_thomas_solve_tail(sl.fac, rhs, slabs.trace_tail)
+            v, y_c, t_c = block_thomas_solve_cached(
+                sl.fac, rhs, slabs.trace_tail
+            )
             mine = me == owner
             rhs_local = rhs_local.at[li].set(
                 jnp.where(mine, rhs, rhs_local[li])
@@ -107,6 +111,9 @@ def sharded_gs_sweep(slabs: SlabSystem, b: jnp.ndarray, mesh: Mesh,
             u_np_all = u_np_all.at[li].set(
                 jnp.where(mine, v[sl.lnp], u_np_all[li])
             )
+            # cache the forward-pass stacks for the up sweep's resume path
+            y_all = y_all.at[li].set(jnp.where(mine, y_c, y_all[li]))
+            t_all = t_all.at[li].set(jnp.where(mine, t_c, t_all[li]))
             u_n = bcast(v[sl.ln], owner)
             u_np = bcast(v[sl.lnp], owner)
 
@@ -121,7 +128,9 @@ def sharded_gs_sweep(slabs: SlabSystem, b: jnp.ndarray, mesh: Mesh,
             addn = -band_matvec(sl.cpl_n_np, u_1)
             rhs = rhs.at[sl.lnp].add(jnp.where(sl.has_bot, addnp, zeros_n))
             rhs = rhs.at[sl.ln].add(jnp.where(sl.has_bot, addn, zeros_n))
-            u = block_thomas_solve(sl.fac, rhs)
+            u = block_thomas_solve_resume(
+                sl.fac, rhs, y_all[li], t_all[li], slabs.trace_tail
+            )
             mine = me == owner
             out_local = out_local.at[li].set(jnp.where(mine, u, out_local[li]))
             # reflection: u_np of the slab above, broadcast from its owner
@@ -188,6 +197,8 @@ def sharded_gs_sweep_pipelined(slabs: SlabSystem, b_batch: jnp.ndarray,
         # ---- down wavefront ----
         recv = zeros2          # traces from the left neighbor, for my r = t - me
         u_np_all = jnp.zeros((R, n), dtype)
+        y_all = jnp.zeros((R, slabs.m1_max, n), dtype)
+        t_all = jnp.zeros((R, slabs.m1_max, n), dtype)
         for t in range(S + R - 1):
             r = t - me
             valid = (r >= 0) & (r < R)
@@ -197,11 +208,15 @@ def sharded_gs_sweep_pipelined(slabs: SlabSystem, b_batch: jnp.ndarray,
             add1 = -band_matvec(sl.cpl_10, recv[0])
             rhs = rhs.at[sl.l0].add(jnp.where(sl.has_top, add0, zeros_n))
             rhs = rhs.at[sl.l1].add(jnp.where(sl.has_top, add1, zeros_n))
-            v = block_thomas_solve_tail(sl.fac, rhs, slabs.trace_tail)
+            v, y_c, t_c = block_thomas_solve_cached(
+                sl.fac, rhs, slabs.trace_tail
+            )
             rhs_all = rhs_all.at[rc].set(jnp.where(valid, rhs, rhs_all[rc]))
             u_np_all = u_np_all.at[rc].set(
                 jnp.where(valid, v[sl.lnp], u_np_all[rc])
             )
+            y_all = y_all.at[rc].set(jnp.where(valid, y_c, y_all[rc]))
+            t_all = t_all.at[rc].set(jnp.where(valid, t_c, t_all[rc]))
             out = jnp.where(valid, jnp.stack([v[sl.ln], v[sl.lnp]]), zeros2)
             recv = jax.lax.ppermute(out, axis, fwd)
 
@@ -221,7 +236,9 @@ def sharded_gs_sweep_pipelined(slabs: SlabSystem, b_batch: jnp.ndarray,
             addn = -band_matvec(sl.cpl_n_np, u1_corr)
             rhs = rhs.at[sl.lnp].add(jnp.where(sl.has_bot, addnp, zeros_n))
             rhs = rhs.at[sl.ln].add(jnp.where(sl.has_bot, addn, zeros_n))
-            u = block_thomas_solve(sl.fac, rhs)
+            u = block_thomas_solve_resume(
+                sl.fac, rhs, y_all[rc], t_all[rc], slabs.trace_tail
+            )
             out_local = out_local.at[rc].set(
                 jnp.where(valid, u, out_local[rc])
             )

@@ -108,6 +108,60 @@ def modified_weights_hyper(w: np.ndarray, x: np.ndarray, y: float) -> np.ndarray
     return w * (p @ (q * j))
 
 
+def eval_phi(m: int, y: float, x: np.ndarray, weak: bool = True,
+             singular: bool = True, hyper: bool = False) -> np.ndarray:
+    """Stacked basis table for generalized Gaussian quadratures (reference
+    ``evalPhi``, ``quadratures.jl:66-87``): Legendre polynomials, optionally
+    times ``log|y-x|`` (weak), ``1/(y-x)`` (singular) and ``1/(y-x)^2``
+    (hyper); rows are basis functions, columns quadrature points.
+    Singular evaluations (y hitting a node) are zeroed like the reference.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    p = eval_legendre(m, x).T               # (m, N)
+    ymx = y - x[None, :]
+    blocks = [p]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if weak:
+            blocks.append(p * np.log(np.abs(ymx)))
+        if singular:
+            blocks.append(p / ymx)
+        if hyper:
+            blocks.append(p / ymx ** 2)
+    phi = np.vstack(blocks)
+    phi[~np.isfinite(phi)] = 0.0
+    return phi
+
+
+def compute_weights(m: int, x: np.ndarray, w: np.ndarray, y: float) -> np.ndarray:
+    """Generalized quadrature weights integrating polynomials, log-singular
+    and PV-singular families simultaneously, via least squares against the
+    exact (modified-weight) moments — semantics of ``computeweights``
+    (``quadratures.jl:135-145``).
+
+    The target moments are the exact integrals of each stacked family:
+    ``int P_j = P @ w``, ``int P_j log|y-x| = P @ w_log``,
+    ``int P_j/(y-x) = P @ w_pv`` (the modified weights applied to the PLAIN
+    polynomial values — the singular factor lives in the weights).  The
+    reference instead multiplies the singular-block values by the modified
+    weights, double-counting the kernel (and swaps eq. 71/72 between the
+    blocks) — an apparent bug on a dormant path, corrected here.
+    """
+    phi = eval_phi(m, y, x)
+    p = phi[:m]
+    w_log = modified_weights_log(w, x, y)
+    w_pv = modified_weights_pv(w, x, y)
+    moments = np.concatenate([p @ w, p @ w_log, p @ w_pv])
+    return np.linalg.lstsq(phi, moments, rcond=None)[0]
+
+
+def eval_generalized_moments(m: int, y: float, x: np.ndarray,
+                             w: np.ndarray) -> np.ndarray:
+    """Moments of the stacked singular basis under the PLAIN Gauss-Legendre
+    rule (reference ``evalGeneralizedMoments``, ``quadratures.jl:190-195``) —
+    the unmodified counterpart of :func:`compute_weights`' target vector."""
+    return eval_phi(m, y, x) @ np.asarray(w, dtype=np.float64)
+
+
 def legendre_interp_matrix(s: np.ndarray, x: np.ndarray, w: np.ndarray):
     """Interpolation matrix from Gauss-Legendre nodes x to targets s
     (reference ``legendreInterpMatrix``, ``quadratures.jl:146-152``)."""

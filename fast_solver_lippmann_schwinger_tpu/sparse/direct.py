@@ -73,8 +73,74 @@ def compress_factorization(
     )
 
 
+@struct.dataclass
+class BlockTridiagFactorizationBanded:
+    """Band-compressed pivot inverses: only the ``w`` central diagonals of
+    each ``C_j^{-1}`` are kept (``band[j, i, d] = Cinv_j[i, i + d - w//2]``),
+    stored as bfloat16 real/imag planes.
+
+    The pivot inverses are discrete line Green's functions; with the slabs'
+    absorbing layers their entries decay away from the diagonal, so a banded
+    pivot apply preserves preconditioner quality at a fraction of the HBM
+    traffic (n*w instead of n^2 per line) — and the apply lowers to fused
+    shifted multiply-adds instead of a gather-fed matmul.  The approximation
+    only perturbs the PRECONDITIONER; outer GMRES convergence is the quality
+    metric (see tests/test_banded_pivots.py).
+    """
+
+    band_re: jnp.ndarray   # (m, n, w) bfloat16
+    band_im: jnp.ndarray   # (m, n, w) bfloat16
+    lband: jnp.ndarray     # (m, n, 3) complex
+    uband: jnp.ndarray     # (m, n, 3) complex
+
+
+def compress_factorization_banded(
+    fac: BlockTridiagFactorization, width: int
+) -> BlockTridiagFactorizationBanded:
+    """Extract the central ``width`` diagonals of each pivot inverse."""
+    m, n = fac.cinv.shape[0], fac.cinv.shape[1]
+    width = min(width | 1, 2 * n - 1)    # odd, capped
+    half = width // 2
+    i = jnp.arange(n)[:, None]
+    d = jnp.arange(width)[None, :]
+    col = i + d - half                           # (n, w)
+    valid = (col >= 0) & (col < n)
+    colc = jnp.clip(col, 0, n - 1)
+    band = jnp.take_along_axis(
+        fac.cinv, jnp.broadcast_to(colc[None], (m, n, width)), axis=2
+    )
+    band = jnp.where(valid[None], band, 0.0)
+    return BlockTridiagFactorizationBanded(
+        band_re=jnp.real(band).astype(jnp.bfloat16),
+        band_im=jnp.imag(band).astype(jnp.bfloat16),
+        lband=fac.lband,
+        uband=fac.uband,
+    )
+
+
+def _banded_pivot_apply(fac_slice, y):
+    """``C_j^{-1} y`` with the band-compressed pivot: w fused shifted
+    multiply-adds (y stays VMEM-resident; only the band streams from HBM)."""
+    n, w = fac_slice.band_re.shape
+    half = w // 2
+    pad = [(half, half)] + [(0, 0)] * (y.ndim - 1)
+    yr = jnp.pad(jnp.real(y).astype(jnp.float32), pad)
+    yi = jnp.pad(jnp.imag(y).astype(jnp.float32), pad)
+    trail = (1,) * (y.ndim - 1)
+    out_r = jnp.zeros(y.shape, jnp.float32)
+    out_i = jnp.zeros(y.shape, jnp.float32)
+    for d in range(w):
+        br = fac_slice.band_re[:, d].astype(jnp.float32).reshape((n,) + trail)
+        bi = fac_slice.band_im[:, d].astype(jnp.float32).reshape((n,) + trail)
+        out_r = out_r + br * yr[d : d + n] - bi * yi[d : d + n]
+        out_i = out_i + br * yi[d : d + n] + bi * yr[d : d + n]
+    return jax.lax.complex(out_r, out_i).astype(y.dtype)
+
+
 def _pivot_apply(fac_slice, y):
-    """``C_j^{-1} @ y`` for either storage format; y (n, ...) complex."""
+    """``C_j^{-1} @ y`` for any storage format; y (n, ...) complex."""
+    if hasattr(fac_slice, "band_re"):
+        return _banded_pivot_apply(fac_slice, y)
     if hasattr(fac_slice, "cinv_re"):
         # one width-2 matmul per plane: [re|im] @ [yr yi] streams each
         # bf16 pivot plane from HBM ONCE (4 width-1 matvecs would read
@@ -166,92 +232,60 @@ def factor_stencil_2d(s: StencilMatrix2D) -> BlockTridiagFactorization:
     return BlockTridiagFactorization(cinv=cinv, lband=lband, uband=uband)
 
 
-def block_thomas_solve(fac: BlockTridiagFactorization, b: jnp.ndarray) -> jnp.ndarray:
-    """Solve ``S x = b`` given the factorization.
-
-    ``b`` may be flat (m*n,), gridded (m, n), or multi-RHS (m, n, r) /
-    (m*n, r); the result matches the input shape.
-    """
+def _as_line_stack(fac, b):
+    """Reshape ``b`` — flat (m*n,), gridded (m, n), or multi-RHS
+    (m, n, r) / (m*n, r) — to a (m, n, ...) line stack."""
     m, n = fac.lband.shape[0], fac.lband.shape[1]
-    orig_shape = b.shape
     if b.ndim == 1:
-        bg = b.reshape(m, n)
-    elif b.ndim == 2 and b.shape == (m, n):
-        bg = b
-    elif b.ndim == 2:           # (m*n, r)
-        bg = b.reshape(m, n, b.shape[1])
-    else:
-        bg = b
-
-    dtype = fac.lband.dtype
-    # the pivot stack is indexed per line inside the loop bodies rather
-    # than threaded through scan xs: threading the (m1, n, n) stacks
-    # through xs measured ~1.7x SLOWER (XLA materializes relayout copies
-    # of the xs inputs), see RESULTS.md
-    lines = jnp.arange(m)
-
-    def fwd(carry, inp):
-        t_prev = carry          # C_{j-1}^{-1} y_{j-1}
-        b_j, lband_j, j = inp
-        y_j = b_j - band_matvec(lband_j, t_prev)
-        fac_j = jax.tree_util.tree_map(lambda a: a[j], fac)
-        t_j = _pivot_apply(fac_j, y_j)
-        return t_j, y_j
-
-    t0 = jnp.zeros(bg.shape[1:], dtype=dtype)
-    _, y = jax.lax.scan(fwd, t0, (bg.astype(dtype), fac.lband, lines),
-                        unroll=_SOLVE_UNROLL)
-
-    def bwd(carry, inp):
-        x_next = carry
-        y_j, uband_j, j = inp
-        fac_j = jax.tree_util.tree_map(lambda a: a[j], fac)
-        x_j = _pivot_apply(fac_j, y_j - band_matvec(uband_j, x_next))
-        return x_j, x_j
-
-    x0 = jnp.zeros(bg.shape[1:], dtype=dtype)
-    # reverse=True iterates back-to-front without materializing reversed
-    # copies of the pivot arrays
-    _, x = jax.lax.scan(bwd, x0, (y, fac.uband, lines), reverse=True,
-                        unroll=_SOLVE_UNROLL)
-    return x.reshape(orig_shape)
+        return b.reshape(m, n)
+    if b.ndim == 2 and b.shape == (m, n):
+        return b
+    if b.ndim == 2:             # (m*n, r)
+        return b.reshape(m, n, b.shape[1])
+    return b
 
 
-def block_thomas_solve_tail(fac: BlockTridiagFactorization, b: jnp.ndarray,
-                            tail: int) -> jnp.ndarray:
-    """Solve ``S x = b`` materializing x only on the LAST ``tail`` lines.
+def _fwd_scan(fac, bg, start: int = 0, t_start=None, collect_t: bool = False):
+    """Forward substitution ``y_j = b_j - L_j t_{j-1}``, ``t_j = C_j^{-1} y_j``
+    over lines ``start..m-1``; returns the ``y`` stack (and the ``t`` stack
+    when ``collect_t``).
 
-    The backward substitution starts at the true last line, so the computed
-    lines are EXACT; lines above ``m - tail`` are returned as zeros.  Used
-    by the downward sweeps, which consume only the bottom-interface traces
-    of each local solve — the backward pass shrinks from m to ~2*npml
-    steps (the forward pass still runs over all lines).
+    The pivot stack is indexed per line inside the loop body rather than
+    threaded through scan xs: threading the (m1, n, n) stacks through xs
+    measured ~1.7x SLOWER (XLA materializes relayout copies of the xs
+    inputs), see RESULTS.md.
     """
-    m, n = fac.lband.shape[0], fac.lband.shape[1]
-    if tail <= 0 or tail >= m:
-        return block_thomas_solve(fac, b)
-    orig_shape = b.shape
-    if b.ndim == 1:
-        bg = b.reshape(m, n)
-    elif b.ndim == 2 and b.shape == (m, n):
-        bg = b
-    elif b.ndim == 2:
-        bg = b.reshape(m, n, b.shape[1])
-    else:
-        bg = b
-
+    m = fac.lband.shape[0]
     dtype = fac.lband.dtype
-    lines = jnp.arange(m)
+    lines = jnp.arange(start, m)
 
     def fwd(t_prev, inp):
         b_j, lband_j, j = inp
         y_j = b_j - band_matvec(lband_j, t_prev)
         t_j = _pivot_apply(jax.tree_util.tree_map(lambda a: a[j], fac), y_j)
-        return t_j, y_j
+        out = (y_j, t_j) if collect_t else y_j
+        return t_j, out
 
-    t0 = jnp.zeros(bg.shape[1:], dtype=dtype)
-    _, y = jax.lax.scan(fwd, t0, (bg.astype(dtype), fac.lband, lines),
-                        unroll=_SOLVE_UNROLL)
+    t0 = jnp.zeros(bg.shape[1:], dtype=dtype) if t_start is None else t_start
+    _, out = jax.lax.scan(
+        fwd, t0, (bg[start:].astype(dtype), fac.lband[start:], lines),
+        unroll=_SOLVE_UNROLL,
+    )
+    return out if collect_t else (out, None)
+
+
+def _bwd_scan(fac, y, tail: int = 0):
+    """Backward substitution ``x_j = C_j^{-1}(y_j - U_j x_{j+1})``.
+
+    With ``tail > 0`` only the last ``tail`` lines are materialized (the
+    recursion starts at the true last line, so they are EXACT; lines above
+    are returned as zeros).
+    """
+    m = fac.lband.shape[0]
+    dtype = fac.lband.dtype
+    full = tail <= 0 or tail >= m
+    start = 0 if full else m - tail
+    lines = jnp.arange(start, m)
 
     def bwd(x_next, inp):
         y_j, uband_j, j = inp
@@ -261,15 +295,74 @@ def block_thomas_solve_tail(fac: BlockTridiagFactorization, b: jnp.ndarray,
         )
         return x_j, x_j
 
-    x0 = jnp.zeros(bg.shape[1:], dtype=dtype)
-    tail_lines = lines[m - tail:]
-    _, x_tail = jax.lax.scan(
-        bwd, x0, (y[m - tail:], fac.uband[m - tail:], tail_lines),
+    x0 = jnp.zeros(y.shape[1:], dtype=dtype)
+    # reverse=True iterates back-to-front without materializing reversed
+    # copies of the pivot arrays
+    _, x = jax.lax.scan(
+        bwd, x0, (y[start:], fac.uband[start:], lines),
         reverse=True, unroll=_SOLVE_UNROLL,
     )
-    x = jnp.zeros_like(bg, shape=(m,) + bg.shape[1:], dtype=dtype)
-    x = x.at[m - tail:].set(x_tail)
-    return x.reshape(orig_shape)
+    if full:
+        return x
+    out = jnp.zeros((m,) + y.shape[1:], dtype=dtype)
+    return out.at[start:].set(x)
+
+
+def block_thomas_solve(fac: BlockTridiagFactorization, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve ``S x = b`` given the factorization.
+
+    ``b`` may be flat (m*n,), gridded (m, n), or multi-RHS (m, n, r) /
+    (m*n, r); the result matches the input shape.
+    """
+    bg = _as_line_stack(fac, b)
+    y, _ = _fwd_scan(fac, bg)
+    return _bwd_scan(fac, y).reshape(b.shape)
+
+
+def block_thomas_solve_tail(fac: BlockTridiagFactorization, b: jnp.ndarray,
+                            tail: int) -> jnp.ndarray:
+    """Solve ``S x = b`` materializing x only on the LAST ``tail`` lines.
+
+    Used by the downward sweeps, which consume only the bottom-interface
+    traces of each local solve — the backward pass shrinks from m to
+    ~2*npml steps (the forward pass still runs over all lines).
+    """
+    bg = _as_line_stack(fac, b)
+    y, _ = _fwd_scan(fac, bg)
+    return _bwd_scan(fac, y, tail).reshape(b.shape)
+
+
+def block_thomas_solve_cached(fac: BlockTridiagFactorization, b: jnp.ndarray,
+                              tail: int = 0):
+    """Tail-truncated solve that also returns the forward-pass stacks
+    ``(y, t)`` so a later solve whose rhs differs only on the last lines can
+    resume the forward substitution (``block_thomas_solve_resume``)."""
+    bg = _as_line_stack(fac, b)
+    y, t = _fwd_scan(fac, bg, collect_t=True)
+    return _bwd_scan(fac, y, tail).reshape(b.shape), y, t
+
+
+def block_thomas_solve_resume(fac: BlockTridiagFactorization, b: jnp.ndarray,
+                              y_cached: jnp.ndarray, t_cached: jnp.ndarray,
+                              resume: int) -> jnp.ndarray:
+    """Solve ``S x = b`` where ``b`` differs from a previously cached solve's
+    rhs only on the last ``resume`` lines.
+
+    The forward substitution restarts at line ``m - resume`` from the cached
+    carry, skipping ~(m - resume) pivot applications; the result is
+    bit-identical to a full solve.  This is the up-sweep fast path: the
+    upward Gauss-Seidel rhs is the downward rhs plus interface traces
+    injected at the two bottom trace lines (``src/preconditioner.jl:608-616``
+    modifies only ``ind_n``/``ind_np`` rows).
+    """
+    m = fac.lband.shape[0]
+    if resume <= 0 or resume >= m:
+        return block_thomas_solve(fac, b)
+    bg = _as_line_stack(fac, b)
+    j0 = m - resume
+    y_new, _ = _fwd_scan(fac, bg, start=j0, t_start=t_cached[j0 - 1])
+    y = jnp.concatenate([y_cached[:j0].astype(y_new.dtype), y_new], axis=0)
+    return _bwd_scan(fac, y).reshape(b.shape)
 
 
 # Batched variants (leading slab axis) — used by the DDM layer to factor and

@@ -113,3 +113,44 @@ def test_block_thomas_multi_rhs(problem):
     for r in range(3):
         x_single = np.asarray(block_thomas_solve(fac, jnp.asarray(B[:, r])))
         np.testing.assert_allclose(X_multi[:, r], x_single, rtol=1e-9, atol=1e-11)
+
+
+def test_block_thomas_resume_matches_full(problem):
+    """Resuming the forward pass from cached (y, t) stacks is bit-identical
+    to a fresh solve when the rhs only changes on the last lines."""
+    from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
+        block_thomas_solve_cached,
+        block_thomas_solve_resume,
+    )
+
+    grid, k, X, Y, nu, a_st, ag_st = problem
+    msp = stencils.build_msp_2d(a_st, ag_st, nu, k)
+    fac = factor_stencil_2d(msp)
+    m, n = grid.shape
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.standard_normal((m, n)) + 1j * rng.standard_normal((m, n)))
+    _, y_c, t_c = block_thomas_solve_cached(fac, b, tail=4)
+    b2 = b.at[m - 3].add(1.0 + 0.5j)
+    got = block_thomas_solve_resume(fac, b2, y_c, t_c, resume=5)
+    want = block_thomas_solve(fac, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12)
+
+
+def test_banded_pivot_full_width_matches(problem):
+    """Band compression at full width w = 2n-1 only loses bf16 rounding."""
+    from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
+        compress_factorization_banded,
+    )
+
+    grid, k, X, Y, nu, a_st, ag_st = problem
+    msp = stencils.build_msp_2d(a_st, ag_st, nu, k)
+    fac = factor_stencil_2d(msp)
+    n = grid.shape[1]
+    fac_b = compress_factorization_banded(fac, 2 * n - 1)
+    rng = np.random.default_rng(4)
+    b = jnp.asarray(rng.standard_normal(grid.size)
+                    + 1j * rng.standard_normal(grid.size))
+    got = np.asarray(block_thomas_solve(fac_b, b))
+    want = np.asarray(block_thomas_solve(fac, b))
+    err = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert err < 5e-2  # bf16 pivots

@@ -143,3 +143,34 @@ def test_checkpoint_roundtrip(tmp_path, small_ddm):
         np.asarray(loaded.values), np.asarray(a_st.values)
     )
     assert checkpoint.load_arrays(os.path.join(tmp_path, "nope.npz")) is None
+
+
+def test_compute_weights_integrates_singular_families():
+    """Generalized weights from compute_weights integrate smooth-times-
+    singular integrands (reference ``computeweights``, quadratures.jl:135)."""
+    from scipy.integrate import quad as sciquad
+
+    y = 1.3
+    m = 12
+    x, w = quad.gauss_legendre(m)
+    wmod = quad.compute_weights(m, x, w, y)
+    f = lambda t: np.exp(t)
+    kernels = (lambda t: 1.0 + 0 * t,
+               lambda t: np.log(np.abs(y - t)),
+               lambda t: 1.0 / (y - t))
+    for kern in kernels:
+        exact, _ = sciquad(lambda t: f(t) * kern(t), -1, 1)
+        got = np.sum(wmod * f(x) * kern(x))
+        np.testing.assert_allclose(got, exact, rtol=1e-6)
+
+
+def test_eval_generalized_moments_matches_plain_rule():
+    m = 8
+    x, w = quad.gauss_legendre(m)
+    y = 2.0
+    mom = quad.eval_generalized_moments(m, y, x, w)
+    phi = quad.eval_phi(m, y, x)
+    np.testing.assert_allclose(mom, phi @ w, atol=1e-14)
+    # plain block: Legendre orthogonality -> first moment 2, rest ~0
+    np.testing.assert_allclose(mom[0], 2.0, atol=1e-12)
+    np.testing.assert_allclose(mom[1:m], 0.0, atol=1e-12)
