@@ -32,6 +32,10 @@ from fast_solver_lippmann_schwinger_tpu.ops.fastconv import (
     build_fast_convolution_3d,
 )
 from fast_solver_lippmann_schwinger_tpu.solver.gmres import gmres
+from fast_solver_lippmann_schwinger_tpu.solver.adjoint import (
+    apply_transpose,
+    differentiable_solve,
+)
 from fast_solver_lippmann_schwinger_tpu.sparse.stencil_matrix import StencilMatrix2D
 from fast_solver_lippmann_schwinger_tpu.sparse.stencils import (
     build_sparse_a_2d,
@@ -45,6 +49,7 @@ from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
 from fast_solver_lippmann_schwinger_tpu.precond.sparsifying import (
     SparsifyingPreconditioner,
     SparsifyingPreconditioner3D,
+    SparsifyingPreconditionerT,
 )
 from fast_solver_lippmann_schwinger_tpu.ddm.subdomain import (
     SlabSystem,
@@ -86,6 +91,8 @@ __all__ = [
     "build_fast_convolution_2d",
     "build_fast_convolution_3d",
     "gmres",
+    "apply_transpose",
+    "differentiable_solve",
     "StencilMatrix2D",
     "build_sparse_a_2d",
     "build_sparse_a_ag_2d",
@@ -94,6 +101,7 @@ __all__ = [
     "block_thomas_solve",
     "SparsifyingPreconditioner",
     "SparsifyingPreconditioner3D",
+    "SparsifyingPreconditionerT",
     "SlabSystem",
     "build_slab_system",
     "DoubleSweepPreconditioner",

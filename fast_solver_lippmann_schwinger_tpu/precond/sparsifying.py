@@ -47,6 +47,36 @@ class SparsifyingPreconditioner:
 
 
 @struct.dataclass
+class SparsifyingPreconditionerT:
+    """Transposed sparsifying preconditioner ``b -> As^T (Msp^{-T} b)``.
+
+    ``(Msp^{-1} As)^T = As^T Msp^{-T}``: the right preconditioner for the
+    TRANSPOSED system solved by the adjoint pass of
+    ``solver.adjoint.differentiable_solve`` — the order of the annihilator
+    matvec and the direct solve flips relative to the forward
+    ``SparsifyingPreconditioner``.
+    """
+
+    factorization: BlockTridiagFactorization   # of Msp^T
+    a_s_t: StencilMatrix2D
+
+    @classmethod
+    def build(cls, msp: StencilMatrix2D, a_s: StencilMatrix2D):
+        return cls(
+            factorization=jax.jit(
+                lambda s: factor_stencil_2d(s.matrix_transpose())
+            )(msp),
+            a_s_t=a_s.matrix_transpose(),
+        )
+
+    def apply(self, b: jnp.ndarray) -> jnp.ndarray:
+        return self.a_s_t.matvec(block_thomas_solve(self.factorization, b))
+
+    def __call__(self, b: jnp.ndarray) -> jnp.ndarray:
+        return self.apply(b)
+
+
+@struct.dataclass
 class SparsifyingPreconditioner3D:
     factorization: BlockTridiagFactorization3D
     a_s: StencilMatrix3D

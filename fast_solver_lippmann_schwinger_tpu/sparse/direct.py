@@ -28,7 +28,7 @@ from fast_solver_lippmann_schwinger_tpu.sparse.stencil_matrix import (
 # Substitution scans are per-step latency-bound on TPU (~10 us/step vs the
 # ~3 us HBM bound for streaming one pivot line); unrolling amortizes the
 # loop overhead across several lines per hardware loop iteration.
-_SOLVE_UNROLL = 4
+_SOLVE_UNROLL = 8
 
 
 @struct.dataclass

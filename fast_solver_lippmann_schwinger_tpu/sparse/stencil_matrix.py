@@ -65,6 +65,21 @@ class StencilMatrix2D:
         """
         return StencilMatrix2D(values=jnp.transpose(self.values, (1, 0, 3, 2)))
 
+    def matrix_transpose(self) -> "StencilMatrix2D":
+        """The true matrix transpose ``S^T`` (NOT the grid x/y swap of
+        :meth:`transpose`): row (j, i) of ``S^T`` collects, from each
+        neighbor, the coefficient of that neighbor's stencil pointing back
+        at (j, i).  Used for adjoint solves (``solver/adjoint.py``)."""
+        m, n = self.m, self.n
+        vp = jnp.pad(self.values, ((1, 1), (1, 1), (0, 0), (0, 0)))
+        out = jnp.zeros_like(self.values)
+        for dj in range(3):
+            for di in range(3):
+                out = out.at[:, :, dj, di].set(
+                    vp[dj : dj + m, di : di + n, 2 - dj, 2 - di]
+                )
+        return StencilMatrix2D(values=out)
+
     def scale_columns(self, d: jnp.ndarray) -> "StencilMatrix2D":
         """``S @ diag(d)`` for a grid field d (m, n): column scaling.
 
@@ -141,6 +156,22 @@ class StencilMatrix3D:
 
     def __matmul__(self, u):
         return self.matvec(u)
+
+    def matrix_transpose(self) -> "StencilMatrix3D":
+        """True matrix transpose (see the 2D version)."""
+        l, m, n = self.l, self.m, self.n
+        vp = jnp.pad(
+            self.values, ((1, 1), (1, 1), (1, 1), (0, 0), (0, 0), (0, 0))
+        )
+        out = jnp.zeros_like(self.values)
+        for dk in range(3):
+            for dj in range(3):
+                for di in range(3):
+                    out = out.at[:, :, :, dk, dj, di].set(
+                        vp[dk : dk + l, dj : dj + m, di : di + n,
+                           2 - dk, 2 - dj, 2 - di]
+                    )
+        return StencilMatrix3D(values=out)
 
     def scale_columns(self, d: jnp.ndarray) -> "StencilMatrix3D":
         l, m, n = self.l, self.m, self.n
