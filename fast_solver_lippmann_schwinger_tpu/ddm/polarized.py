@@ -39,6 +39,7 @@ from fast_solver_lippmann_schwinger_tpu.solver.gmres import gmres
 from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
     band_matvec,
     block_thomas_solve,
+    block_thomas_solve_support,
 )
 from fast_solver_lippmann_schwinger_tpu.sparse.stencil_matrix import StencilMatrix2D
 
@@ -95,15 +96,24 @@ def block_apply(slabs: SlabSystem, v0, v1, vN, vNp):
         cpl_n_np=slabs.cpl_n_np, cpl_np_n=slabs.cpl_np_n,
     )
     rhs = jax.vmap(fill)(rhs, xs)
-    u = _solve_batched(slabs.fac, rhs)
+    # trace-driven rhs: zero above the first trace line, so the forward
+    # substitution head-starts there (exact)
+    u = jax.vmap(
+        lambda f, r: block_thomas_solve_support(f, r, start=slabs.trace_head)
+    )(slabs.fac, rhs)
     idx = jnp.arange(slabs.n_subs)
     return (u[idx, slabs.l0], u[idx, slabs.l1], u[idx, slabs.ln], u[idx, slabs.lnp])
 
 
 def _block_apply_single(slabs, s_fac, v0, v1, vN, vNp, l0, l1, ln, lnp,
                         cpl_01, cpl_10, cpl_n_np, cpl_np_n,
-                        has_top, has_bot):
-    """Single-slab block apply used inside the sequential Dinv recursions."""
+                        has_top, has_bot, start=0, tail=0):
+    """Single-slab block apply used inside the sequential Dinv recursions.
+
+    ``start``/``tail`` exploit the rhs/consumption structure of the caller
+    (both exact): the down recursion drives only top-trace sources and reads
+    only bottom traces; the up recursion is the mirror image.
+    """
     dtype = cpl_01.dtype
     rhs = jnp.zeros((slabs.m1_max, slabs.n), dtype=dtype)
     zero = jnp.zeros((slabs.n,), dtype=dtype)
@@ -111,7 +121,7 @@ def _block_apply_single(slabs, s_fac, v0, v1, vN, vNp, l0, l1, ln, lnp,
     rhs = rhs.at[l0].set(jnp.where(has_top, band_matvec(cpl_01, v1), zero))
     rhs = rhs.at[lnp].set(jnp.where(has_bot, band_matvec(cpl_np_n, vN), zero))
     rhs = rhs.at[ln].set(jnp.where(has_bot, -band_matvec(cpl_n_np, vNp), zero))
-    u = block_thomas_solve(s_fac, rhs)
+    u = block_thomas_solve_support(s_fac, rhs, start=start, tail=tail)
     return u[l0], u[l1], u[ln], u[lnp]
 
 
@@ -259,11 +269,14 @@ def apply_dinv_down(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
 
     def step(carry, xs):
         vN, vNp = carry
+        # top-trace sources only, bottom traces consumed: head-start the
+        # forward pass and truncate the backward pass (both exact)
         _, _, tN, tNp = _block_apply_single(
             slabs, _fac_at(slabs.fac, xs["idx"]), vN, vNp, zero, zero,
             xs["l0"], xs["l1"], xs["ln"], xs["lnp"],
             xs["cpl_01"], xs["cpl_10"], xs["cpl_n_np"], xs["cpl_np_n"],
             xs["has_top"], xs["has_bot"],
+            start=slabs.trace_head, tail=slabs.trace_tail,
         )
         out0 = tN - xs["g0"]
         out1 = tNp - xs["g1"]
@@ -284,11 +297,14 @@ def apply_dinv_up(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
 
     def step(carry, xs):
         v0, v1 = carry
+        # bottom-trace sources only, top traces consumed: the forward pass
+        # head-starts at the first bottom-trace line (exact)
         t0, t1, _, _ = _block_apply_single(
             slabs, _fac_at(slabs.fac, xs["idx"]), zero, zero, v0, v1,
             xs["l0"], xs["l1"], xs["ln"], xs["lnp"],
             xs["cpl_01"], xs["cpl_10"], xs["cpl_n_np"], xs["cpl_np_n"],
             xs["has_top"], xs["has_bot"],
+            start=max(slabs.m1_max - slabs.trace_tail, 0),
         )
         out0 = t0 - xs["g0"]
         out1 = t1 - xs["g1"]

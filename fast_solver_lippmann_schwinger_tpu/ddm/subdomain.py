@@ -127,6 +127,10 @@ class SlabSystem:
     # backward-pass lines needed to reach the deepest bottom trace (static;
     # 0 = full backward pass) — down sweeps only consume bottom traces
     trace_tail: int = struct.field(pytree_node=False, default=0)
+    # first line carrying a top trace (static; 0 = no head skip) — trace-
+    # driven local solves have zero rhs above it, so forward substitution
+    # can start there with a zero carry
+    trace_head: int = struct.field(pytree_node=False, default=0)
 
 
 def build_slab_system(
@@ -271,6 +275,8 @@ def build_slab_system(
     # deepest bottom-trace line over slabs that have one (pre-clamp values)
     valid_ln = ln[ln >= 0]
     trace_tail = int(m1_max - valid_ln.min()) + 1 if valid_ln.size else 0
+    valid_l0 = l0[l0 >= 0]
+    trace_head = int(valid_l0.min()) if valid_l0.size else 0
 
     h_dev = to_device_complex(h_sten, dtype)
     if pivot_dtype == "bf16":
@@ -325,6 +331,7 @@ def build_slab_system(
         cpl_n_np=to_device_complex(cpl_n_np, dtype),
         cpl_np_n=to_device_complex(cpl_np_n, dtype),
         trace_tail=trace_tail,
+        trace_head=trace_head,
     )
 
 

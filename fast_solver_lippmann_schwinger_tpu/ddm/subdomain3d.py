@@ -39,6 +39,8 @@ from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
     BlockTridiagFactorization3D,
     _plane_stencil_matvec,
     block_thomas_solve_3d,
+    block_thomas_solve_cached_3d,
+    block_thomas_solve_resume_3d,
     factor_stencil_3d,
 )
 from fast_solver_lippmann_schwinger_tpu.sparse.stencil_matrix import StencilMatrix3D
@@ -99,6 +101,8 @@ class SlabSystem3D:
     l: int = struct.field(pytree_node=False)
     n_subs: int = struct.field(pytree_node=False)
     l1_max: int = struct.field(pytree_node=False)
+    # backward-pass planes reaching the deepest bottom trace (0 = full)
+    trace_tail: int = struct.field(pytree_node=False, default=0)
 
 
 def build_slab_system_3d(
@@ -255,6 +259,8 @@ def build_slab_system_3d(
         l=l,
         n_subs=S,
         l1_max=l1_max,
+        trace_tail=(int(l1_max - pln[pln >= 0].min()) + 1
+                    if (pln >= 0).any() else 0),
     )
 
 
@@ -309,13 +315,19 @@ def gs_sweep_3d(slabs: SlabSystem3D, b: jnp.ndarray) -> jnp.ndarray:
         zero = jnp.zeros_like(add0)
         rhs = rhs.at[xs["l0"]].add(jnp.where(xs["has_top"], add0, zero))
         rhs = rhs.at[xs["l1"]].add(jnp.where(xs["has_top"], add1, zero))
-        v = block_thomas_solve_3d(_fac_at(slabs.fac, xs["idx"]), rhs)
+        # down solves only consume bottom traces (truncated backward pass);
+        # cache the forward stacks for the up solve's resume path
+        v, y_c, t_c = block_thomas_solve_cached_3d(
+            _fac_at(slabs.fac, xs["idx"]), rhs, slabs.trace_tail
+        )
         v = v.reshape(slabs.l1_max, mn)
-        return (v[xs["ln"]], v[xs["lnp"]]), (rhs, v[xs["lnp"]])
+        return (v[xs["ln"]], v[xs["lnp"]]), (rhs, v[xs["lnp"]], y_c, t_c)
 
     zeros_p = jnp.zeros((mn,), dtype)
     xs = dict(_slab_xs(slabs), rhs=rhs0)
-    (_, _), (rhs_down, u_np_all) = jax.lax.scan(down_step, (zeros_p, zeros_p), xs)
+    (_, _), (rhs_down, u_np_all, y_all, t_all) = jax.lax.scan(
+        down_step, (zeros_p, zeros_p), xs
+    )
 
     u_np_above = jnp.concatenate([zeros_p[None], u_np_all[:-1]], axis=0)
 
@@ -327,13 +339,17 @@ def gs_sweep_3d(slabs: SlabSystem3D, b: jnp.ndarray) -> jnp.ndarray:
         zero = jnp.zeros_like(addnp)
         rhs = rhs.at[xs["lnp"]].add(jnp.where(xs["has_bot"], addnp, zero))
         rhs = rhs.at[xs["ln"]].add(jnp.where(xs["has_bot"], addn, zero))
-        u = block_thomas_solve_3d(_fac_at(slabs.fac, xs["idx"]), rhs)
+        u = block_thomas_solve_resume_3d(
+            _fac_at(slabs.fac, xs["idx"]), rhs, xs["y_c"], xs["t_c"],
+            slabs.trace_tail,
+        )
         u = u.reshape(slabs.l1_max, mn)
         u_0 = u[xs["l0"]]
         u_1 = u[xs["l1"]] - xs["u_np_above"]   # reflection correction
         return (u_0, u_1), u
 
-    xs_up = dict(_slab_xs(slabs), rhs=rhs_down, u_np_above=u_np_above)
+    xs_up = dict(_slab_xs(slabs), rhs=rhs_down, u_np_above=u_np_above,
+                 y_c=y_all, t_c=t_all)
     (_, _), u = jax.lax.scan(up_step, (zeros_p, zeros_p), xs_up, reverse=True)
     return gather_interior_3d(slabs, u)
 

@@ -28,7 +28,7 @@ from fast_solver_lippmann_schwinger_tpu.sparse.stencil_matrix import (
 # Substitution scans are per-step latency-bound on TPU (~10 us/step vs the
 # ~3 us HBM bound for streaming one pivot line); unrolling amortizes the
 # loop overhead across several lines per hardware loop iteration.
-_SOLVE_UNROLL = 8
+_SOLVE_UNROLL = 4
 
 
 @struct.dataclass
@@ -332,6 +332,29 @@ def block_thomas_solve_tail(fac: BlockTridiagFactorization, b: jnp.ndarray,
     return _bwd_scan(fac, y, tail).reshape(b.shape)
 
 
+def block_thomas_solve_support(fac: BlockTridiagFactorization, b: jnp.ndarray,
+                               start: int = 0, tail: int = 0) -> jnp.ndarray:
+    """Solve ``S x = b`` for a rhs KNOWN to be zero on lines ``< start``.
+
+    The forward substitution then has ``y_j = t_j = 0`` for ``j < start``
+    and can begin at ``start`` with a zero carry (exact, no approximation);
+    ``tail`` truncates the backward pass as in
+    :func:`block_thomas_solve_tail`.  Used by the polarized-traces layer,
+    whose local solves are driven by interface sources supported on at most
+    four trace lines (``applyBlockOperator``, ``src/subdomains.jl:212-271``).
+    """
+    m = fac.lband.shape[0]
+    bg = _as_line_stack(fac, b)
+    if start <= 0 or start >= m:
+        y, _ = _fwd_scan(fac, bg)
+    else:
+        y_new, _ = _fwd_scan(fac, bg, start=start)
+        y = jnp.concatenate(
+            [jnp.zeros((start,) + y_new.shape[1:], y_new.dtype), y_new], axis=0
+        )
+    return _bwd_scan(fac, y, tail).reshape(b.shape)
+
+
 def block_thomas_solve_cached(fac: BlockTridiagFactorization, b: jnp.ndarray,
                               tail: int = 0):
     """Tail-truncated solve that also returns the forward-pass stacks
@@ -442,25 +465,39 @@ def factor_stencil_3d(s: StencilMatrix3D) -> BlockTridiagFactorization3D:
     return BlockTridiagFactorization3D(cinv=cinv, lsten=lsten, usten=usten)
 
 
-def block_thomas_solve_3d(
-    fac: BlockTridiagFactorization3D, b: jnp.ndarray
-) -> jnp.ndarray:
+def _fwd_scan_3d(fac, bg, start: int = 0, t_start=None, collect_t: bool = False):
+    """3D forward substitution over z-planes ``start..l-1`` (see
+    :func:`_fwd_scan`)."""
     l = fac.cinv.shape[0]
     m, n = fac.lsten.shape[1], fac.lsten.shape[2]
     mn = m * n
-    orig_shape = b.shape
-    bg = b.reshape(l, mn)
-
-    planes = jnp.arange(l)
+    planes = jnp.arange(start, l)
 
     def fwd(t_prev, inp):
         b_k, lsten_k, k = inp
         y_k = b_k - _plane_stencil_matvec(lsten_k, t_prev.reshape(m, n)).ravel()
-        return fac.cinv[k] @ y_k, y_k
+        t_k = fac.cinv[k] @ y_k
+        out = (y_k, t_k) if collect_t else y_k
+        return t_k, out
 
-    t0 = jnp.zeros((mn,), dtype=fac.cinv.dtype)
-    _, y = jax.lax.scan(fwd, t0, (bg.astype(fac.cinv.dtype), fac.lsten, planes),
-                        unroll=min(_SOLVE_UNROLL, l))
+    t0 = jnp.zeros((mn,), dtype=fac.cinv.dtype) if t_start is None else t_start
+    _, out = jax.lax.scan(
+        fwd, t0,
+        (bg[start:].astype(fac.cinv.dtype), fac.lsten[start:], planes),
+        unroll=min(_SOLVE_UNROLL, l - start),
+    )
+    return out if collect_t else (out, None)
+
+
+def _bwd_scan_3d(fac, y, tail: int = 0):
+    """3D backward substitution; ``tail > 0`` materializes only the last
+    planes (see :func:`_bwd_scan`)."""
+    l = fac.cinv.shape[0]
+    m, n = fac.lsten.shape[1], fac.lsten.shape[2]
+    mn = m * n
+    full = tail <= 0 or tail >= l
+    start = 0 if full else l - tail
+    planes = jnp.arange(start, l)
 
     def bwd(x_next, inp):
         y_k, usten_k, k = inp
@@ -470,6 +507,46 @@ def block_thomas_solve_3d(
         return x_k, x_k
 
     x0 = jnp.zeros((mn,), dtype=fac.cinv.dtype)
-    _, x = jax.lax.scan(bwd, x0, (y, fac.usten, planes), reverse=True,
-                        unroll=min(_SOLVE_UNROLL, l))
-    return x.reshape(orig_shape)
+    _, x = jax.lax.scan(
+        bwd, x0, (y[start:], fac.usten[start:], planes),
+        reverse=True, unroll=min(_SOLVE_UNROLL, l - start),
+    )
+    if full:
+        return x
+    out = jnp.zeros((l, mn), dtype=fac.cinv.dtype)
+    return out.at[start:].set(x)
+
+
+def block_thomas_solve_3d(
+    fac: BlockTridiagFactorization3D, b: jnp.ndarray
+) -> jnp.ndarray:
+    l = fac.cinv.shape[0]
+    bg = b.reshape(l, -1)
+    y, _ = _fwd_scan_3d(fac, bg)
+    return _bwd_scan_3d(fac, y).reshape(b.shape)
+
+
+def block_thomas_solve_cached_3d(fac: BlockTridiagFactorization3D,
+                                 b: jnp.ndarray, tail: int = 0):
+    """3D tail-truncated solve returning the forward-pass stacks
+    (see :func:`block_thomas_solve_cached`)."""
+    l = fac.cinv.shape[0]
+    bg = b.reshape(l, -1)
+    y, t = _fwd_scan_3d(fac, bg, collect_t=True)
+    return _bwd_scan_3d(fac, y, tail).reshape(b.shape), y, t
+
+
+def block_thomas_solve_resume_3d(fac: BlockTridiagFactorization3D,
+                                 b: jnp.ndarray, y_cached: jnp.ndarray,
+                                 t_cached: jnp.ndarray, resume: int
+                                 ) -> jnp.ndarray:
+    """3D solve resuming a cached forward pass (see
+    :func:`block_thomas_solve_resume`)."""
+    l = fac.cinv.shape[0]
+    if resume <= 0 or resume >= l:
+        return block_thomas_solve_3d(fac, b)
+    bg = b.reshape(l, -1)
+    k0 = l - resume
+    y_new, _ = _fwd_scan_3d(fac, bg, start=k0, t_start=t_cached[k0 - 1])
+    y = jnp.concatenate([y_cached[:k0].astype(y_new.dtype), y_new], axis=0)
+    return _bwd_scan_3d(fac, y).reshape(b.shape)
