@@ -43,18 +43,41 @@ class StencilMatrix2D:
         return (self.m * self.n, self.m * self.n)
 
     def matvec(self, u: jnp.ndarray) -> jnp.ndarray:
-        """``y = S u`` via 9 shifted multiply-adds; u flat or (m, n)."""
+        """``y = S u`` via 9 shifted multiply-adds; u flat, (m, n), or with
+        trailing RHS columns (m*n, r) / (m, n, r) — the multi-RHS form
+        covers MKL's ``cscmm`` (``src/sparseblas.jl:46-58``) as well as
+        ``cscmv``."""
         m, n = self.m, self.n
-        u2 = u.reshape(m, n)
-        up = jnp.pad(u2, ((1, 1), (1, 1)))
-        out = jnp.zeros((m, n), dtype=jnp.result_type(self.values, u))
+        extra = u.shape[1:] if u.ndim > 1 and u.shape[0] == m * n else u.shape[2:]
+        u2 = u.reshape((m, n) + extra)
+        pad = [(1, 1), (1, 1)] + [(0, 0)] * len(extra)
+        up = jnp.pad(u2, pad)
+        vals = self.values.reshape((m, n, 3, 3) + (1,) * len(extra))
+        out = jnp.zeros(u2.shape, dtype=jnp.result_type(self.values, u))
         for dj in range(3):
             for di in range(3):
-                out = out + self.values[:, :, dj, di] * up[dj : dj + m, di : di + n]
+                out = out + vals[:, :, dj, di] * up[dj : dj + m, di : di + n]
         return out.reshape(u.shape)
 
     def __matmul__(self, u):
         return self.matvec(u)
+
+    def to_coo(self):
+        """COO triplets (rows, cols, vals) of the assembled sparse matrix —
+        the interop/export counterpart of the reference's ``createIndices``
+        kron-expansion (``src/Functions.jl:7-29``); feed to
+        ``scipy.sparse.coo_matrix`` for external tooling.  Host numpy."""
+        m, n = self.m, self.n
+        vals = np.asarray(self.values)
+        j, i, dj, di = np.meshgrid(
+            np.arange(m), np.arange(n), np.arange(3), np.arange(3),
+            indexing="ij",
+        )
+        jj, ii = j + dj - 1, i + di - 1
+        keep = (jj >= 0) & (jj < m) & (ii >= 0) & (ii < n)
+        rows = (j * n + i)[keep]
+        cols = (jj * n + ii)[keep]
+        return rows, cols, vals[keep]
 
     def transpose(self) -> "StencilMatrix2D":
         """``T S T'`` under the grid transposition permutation.
@@ -142,20 +165,42 @@ class StencilMatrix3D:
         return self.values.shape[2]
 
     def matvec(self, u: jnp.ndarray) -> jnp.ndarray:
+        """``y = S u``; u flat, (l, m, n), or with trailing RHS columns
+        (l*m*n, r) (multi-RHS, MKL ``cscmm`` counterpart)."""
         l, m, n = self.l, self.m, self.n
-        u3 = u.reshape(l, m, n)
-        up = jnp.pad(u3, ((1, 1), (1, 1), (1, 1)))
-        out = jnp.zeros((l, m, n), dtype=jnp.result_type(self.values, u))
+        extra = (
+            u.shape[1:] if u.ndim > 1 and u.shape[0] == l * m * n else u.shape[3:]
+        )
+        u3 = u.reshape((l, m, n) + extra)
+        pad = [(1, 1), (1, 1), (1, 1)] + [(0, 0)] * len(extra)
+        up = jnp.pad(u3, pad)
+        vals = self.values.reshape((l, m, n, 3, 3, 3) + (1,) * len(extra))
+        out = jnp.zeros(u3.shape, dtype=jnp.result_type(self.values, u))
         for dk in range(3):
             for dj in range(3):
                 for di in range(3):
-                    out = out + self.values[:, :, :, dk, dj, di] * up[
+                    out = out + vals[:, :, :, dk, dj, di] * up[
                         dk : dk + l, dj : dj + m, di : di + n
                     ]
         return out.reshape(u.shape)
 
     def __matmul__(self, u):
         return self.matvec(u)
+
+    def to_coo(self):
+        """COO triplets (rows, cols, vals) — see the 2D version."""
+        l, m, n = self.l, self.m, self.n
+        vals = np.asarray(self.values)
+        p, j, i, dk, dj, di = np.meshgrid(
+            np.arange(l), np.arange(m), np.arange(n),
+            np.arange(3), np.arange(3), np.arange(3), indexing="ij",
+        )
+        pp, jj, ii = p + dk - 1, j + dj - 1, i + di - 1
+        keep = ((pp >= 0) & (pp < l) & (jj >= 0) & (jj < m)
+                & (ii >= 0) & (ii < n))
+        rows = ((p * m + j) * n + i)[keep]
+        cols = ((pp * m + jj) * n + ii)[keep]
+        return rows, cols, vals[keep]
 
     def matrix_transpose(self) -> "StencilMatrix3D":
         """True matrix transpose (see the 2D version)."""

@@ -154,3 +154,22 @@ def test_banded_pivot_full_width_matches(problem):
     want = np.asarray(block_thomas_solve(fac, b))
     err = np.linalg.norm(got - want) / np.linalg.norm(want)
     assert err < 5e-2  # bf16 pivots
+
+
+def test_stencil_multi_rhs_and_coo(problem):
+    """Multi-RHS stencil apply (MKL cscmm counterpart) and COO export
+    (createIndices counterpart) against the dense oracle."""
+    import scipy.sparse as sp
+
+    grid, k, X, Y, nu, a_st, ag_st = problem
+    dense = a_st.to_dense()
+    rng = np.random.default_rng(7)
+    U = rng.standard_normal((grid.size, 3)) + 1j * rng.standard_normal(
+        (grid.size, 3)
+    )
+    got = np.asarray(a_st.matvec(jnp.asarray(U)))
+    np.testing.assert_allclose(got, dense @ U, rtol=1e-12, atol=1e-14)
+
+    rows, cols, vals = a_st.to_coo()
+    coo = sp.coo_matrix((vals, (rows, cols)), shape=dense.shape).toarray()
+    np.testing.assert_allclose(coo, dense, rtol=1e-13, atol=1e-15)
