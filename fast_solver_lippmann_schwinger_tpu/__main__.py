@@ -30,7 +30,9 @@ def main(argv=None):
     ap.add_argument("--precond", choices=[
         "sparsifying", "gs", "double_sweep", "polarized_traces", "none",
     ])
-    ap.add_argument("--pivot-dtype", choices=["full", "bf16"])
+    ap.add_argument("--pivot-dtype", choices=["full", "bf16", "banded"])
+    ap.add_argument("--pivot-band", type=int,
+                    help="band width for --pivot-dtype banded")
     ap.add_argument("--subs", type=int, help="number of DDM slabs")
     ap.add_argument("--npml", type=int)
     ap.add_argument("--rtol", type=float)
@@ -82,7 +84,7 @@ def main(argv=None):
     for flag, key in [
         ("dim", "dim"), ("medium", "medium"), ("h", "h"), ("k", "k"),
         ("quad", "quad_rule"), ("precond", "precond"),
-        ("pivot_dtype", "pivot_dtype"),
+        ("pivot_dtype", "pivot_dtype"), ("pivot_band", "pivot_band"),
     ]:
         v = getattr(args, flag)
         if v is not None:

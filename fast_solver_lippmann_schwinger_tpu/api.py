@@ -123,6 +123,7 @@ def build_problem(cfg: ProblemConfig) -> Problem:
             cfg.ddm.n_subdomains, npml=cfg.ddm.npml,
             shift_factor=cfg.ddm.shift_factor,
             a_host=a_np, ag_host=ag_np, pivot_dtype=cfg.pivot_dtype,
+            pivot_band=cfg.pivot_band,
         )
         if cfg.precond == "gs":
             precond = SingleSweepPreconditioner(slabs=slabs, a_s=a_st)
@@ -141,6 +142,7 @@ def build_problem(cfg: ProblemConfig) -> Problem:
                 a_host=a_np.transpose(1, 0, 3, 2),
                 ag_host=ag_np.transpose(1, 0, 3, 2),
                 pivot_dtype=cfg.pivot_dtype,
+                pivot_band=cfg.pivot_band,
             )
             precond = DoubleSweepPreconditioner(
                 slabs=slabs, slabs_t=slabs_t, msp=msp, a_s=a_st
