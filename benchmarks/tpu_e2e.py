@@ -20,6 +20,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--single", action="store_true")
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--pallas", action="store_true",
+                    help="fused-Pallas sweep solves (bf16 pivots in the "
+                    "padded Pallas layout; TPU only)")
     ap.add_argument("--chain", action="store_true",
                     help="chain-timed on-device solve time (excludes the "
                     "tunnel's per-call dispatch/fetch overhead, which "
@@ -46,7 +49,8 @@ def main():
     problem = plasma2d.build_problem(
         h=args.h, n_subdomains=args.subs, npml=args.npml, dtype=jnp.complex64,
         double_sweep=not args.single,
-        pivot_dtype="bf16" if args.bf16 else "full",
+        pivot_dtype=("pallas" if args.pallas
+                     else "bf16" if args.bf16 else "full"),
     )
     print(f"setup dispatched in {time.time()-t0:.1f}s "
           f"(grid {problem.grid.shape}, k={problem.k})", flush=True)

@@ -72,7 +72,7 @@ class ProblemConfig:
     k: float | None = None             # defaults to 1/h (reference convention)
     quad_rule: QuadRule = QuadRule.GREENGARD_VICO
     precond: str = "sparsifying"
-    pivot_dtype: str = "full"          # full | bf16 | banded (DDM pivot storage)
+    pivot_dtype: str = "full"          # full | bf16 | banded | pallas (DDM pivots)
     pivot_band: int | None = None      # band width for pivot_dtype="banded"
     incident_direction: tuple = (1.0, 0.0)
     solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)

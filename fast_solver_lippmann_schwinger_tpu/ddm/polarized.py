@@ -43,7 +43,19 @@ from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
 )
 from fast_solver_lippmann_schwinger_tpu.sparse.stencil_matrix import StencilMatrix2D
 
-_solve_batched = jax.vmap(block_thomas_solve)
+def _require_xla_fac(slabs_or_fac):
+    fac = getattr(slabs_or_fac, "fac", slabs_or_fac)
+    if fac.cinv.size == 0:
+        raise ValueError(
+            "polarized-traces solves need XLA pivot storage; build the slab "
+            "system with pivot_dtype='full'/'bf16'/'banded' (the fused-"
+            "Pallas layout is sweep-only until its multi-RHS form lands)"
+        )
+    return fac
+
+
+def _solve_batched(fac, rhs):
+    return jax.vmap(block_thomas_solve)(_require_xla_fac(fac), rhs)
 
 
 def _devectorize(slabs: SlabSystem, u_gamma: jnp.ndarray):
@@ -71,6 +83,7 @@ def _interface_vector(slabs: SlabSystem, upper_slot, lower_slot):
 def block_apply(slabs: SlabSystem, v0, v1, vN, vNp):
     """Batched ``applyBlockOperator``: one local solve per slab driven by
     interface sources; returns traces (u0, u1, uN, uNp) each (S, n[, r])."""
+    _require_xla_fac(slabs)
     dtype = slabs.cpl_01.dtype
     extra = v0.shape[2:]
     rhs = jnp.zeros((slabs.n_subs, slabs.m1_max, slabs.n) + extra, dtype=dtype)
@@ -262,6 +275,7 @@ def apply_dinv_down(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
     ``src/subdomains.jl:725-753``): interface 0 is negated; each next
     interface's value is the transmitted trace through the slab in between
     minus the input."""
+    _require_xla_fac(slabs)
     S, n = slabs.n_subs, slabs.n
     g = u_gamma.reshape(S - 1, 2, n)
     first = -g[0]
@@ -290,6 +304,7 @@ def apply_dinv_down(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
 def apply_dinv_up(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
     """Sequential upward D^{-1} recursion (``applyDinvUp``,
     ``src/subdomains.jl:785-814``)."""
+    _require_xla_fac(slabs)
     S, n = slabs.n_subs, slabs.n
     g = u_gamma.reshape(S - 1, 2, n)
     last = -g[S - 2]

@@ -131,6 +131,18 @@ class SlabSystem:
     # driven local solves have zero rhs above it, so forward substitution
     # can start there with a zero carry
     trace_head: int = struct.field(pytree_node=False, default=0)
+    # optional fused-Pallas layout of ``fac`` (sparse/pallas_thomas.py);
+    # when present the sweeps stream pivot planes HBM->VMEM via scalar-
+    # prefetch indexing instead of gathering per-slab slices
+    pfac: object = None
+
+
+def attach_pallas(slabs: SlabSystem) -> SlabSystem:
+    """Return a copy of ``slabs`` with the fused-Pallas solve layout attached
+    (sweeps then dispatch to ``sparse/pallas_thomas.py`` kernels)."""
+    from fast_solver_lippmann_schwinger_tpu.sparse import pallas_thomas as pt
+
+    return slabs.replace(pfac=pt.build_pallas_factorization(slabs.fac))
 
 
 def build_slab_system(
@@ -279,7 +291,32 @@ def build_slab_system(
     trace_head = int(valid_l0.min()) if valid_l0.size else 0
 
     h_dev = to_device_complex(h_sten, dtype)
-    if pivot_dtype == "bf16":
+    pfac = None
+    if pivot_dtype == "pallas":
+        # fused-Pallas sweep path: store ONLY the padded/transposed bf16
+        # layout (sparse/pallas_thomas.py); the XLA-side fac keeps the
+        # bands (cheap) with a placeholder pivot stack so shape metadata
+        # and non-sweep consumers of the bands still work
+        from fast_solver_lippmann_schwinger_tpu.sparse import (
+            pallas_thomas as pt,
+        )
+
+        @jax.jit
+        def _factor_pallas(v):
+            fac_full = jax.vmap(
+                lambda vv: factor_stencil_2d(StencilMatrix2D(values=vv))
+            )(v)
+            return (
+                pt.build_pallas_factorization(fac_full),
+                fac_full.lband,
+                fac_full.uband,
+            )
+
+        pfac, lb, ub = _factor_pallas(h_dev)
+        fac = BlockTridiagFactorization(
+            cinv=jnp.zeros((S, m1_max, 0, 0), dtype), lband=lb, uband=ub
+        )
+    elif pivot_dtype == "bf16":
         from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
             compress_factorization,
         )
@@ -332,6 +369,7 @@ def build_slab_system(
         cpl_np_n=to_device_complex(cpl_np_n, dtype),
         trace_tail=trace_tail,
         trace_head=trace_head,
+        pfac=pfac,
     )
 
 

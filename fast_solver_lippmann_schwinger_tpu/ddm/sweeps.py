@@ -80,9 +80,18 @@ def gs_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
         # the forward-pass stacks are cached so the up solve (whose rhs
         # differs only at the bottom trace lines) can resume instead of
         # redoing the full forward substitution
-        v, y_c, t_c = block_thomas_solve_cached(
-            _fac_at(slabs.fac, xs["idx"]), rhs, slabs.trace_tail
-        )
+        if slabs.pfac is not None:
+            from fast_solver_lippmann_schwinger_tpu.sparse import (
+                pallas_thomas as pt,
+            )
+
+            v, y_c, t_c = pt.solve_cached(
+                slabs.pfac, xs["idx"], rhs, slabs.trace_tail
+            )
+        else:
+            v, y_c, t_c = block_thomas_solve_cached(
+                _fac_at(slabs.fac, xs["idx"]), rhs, slabs.trace_tail
+            )
         u_n = v[xs["ln"]]
         u_np = v[xs["lnp"]]
         return (u_n, u_np), (rhs, u_np, y_c, t_c)
@@ -107,10 +116,20 @@ def gs_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
         # rhs differs from the down solve's only at lines >= ln: resume the
         # cached forward pass there (bit-identical, ~m1/trace_tail x fewer
         # forward pivot applications)
-        u = block_thomas_solve_resume(
-            _fac_at(slabs.fac, xs["idx"]), rhs, xs["y_c"], xs["t_c"],
-            slabs.trace_tail,
-        )
+        if slabs.pfac is not None:
+            from fast_solver_lippmann_schwinger_tpu.sparse import (
+                pallas_thomas as pt,
+            )
+
+            u = pt.solve_resume(
+                slabs.pfac, xs["idx"], rhs, xs["y_c"], xs["t_c"],
+                slabs.trace_tail,
+            )
+        else:
+            u = block_thomas_solve_resume(
+                _fac_at(slabs.fac, xs["idx"]), rhs, xs["y_c"], xs["t_c"],
+                slabs.trace_tail,
+            )
         u_0 = u[xs["l0"]]
         u_1 = u[xs["l1"]] - xs["u_np_above"]
         return (u_0, u_1), u
@@ -136,8 +155,32 @@ def jacobi_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
     zeros_n = jnp.zeros((n,), dtype)
     idx = jnp.arange(slabs.n_subs)
 
+    if slabs.pfac is not None:
+        from fast_solver_lippmann_schwinger_tpu.sparse import (
+            pallas_thomas as pt,
+        )
+
+        def _solve_all(rhs_all):
+            return jax.lax.map(
+                lambda si: pt.solve(slabs.pfac, si[0], si[1]),
+                (idx, rhs_all),
+            )
+
+        def _solve_one(i, rhs, tail=0):
+            return pt.solve(slabs.pfac, i, rhs, tail=tail)
+    else:
+
+        def _solve_all(rhs_all):
+            return jax.vmap(block_thomas_solve)(slabs.fac, rhs_all)
+
+        def _solve_one(i, rhs, tail=0):
+            f = _fac_at(slabs.fac, i)
+            if tail:
+                return block_thomas_solve_tail(f, rhs, tail)
+            return block_thomas_solve(f, rhs)
+
     # initial local solves and their traces
-    v_init = jax.vmap(block_thomas_solve)(slabs.fac, rhs0)
+    v_init = _solve_all(rhs0)
     tn_init = v_init[idx, slabs.ln]
     tnp_init = v_init[idx, slabs.lnp]
     t0_init = v_init[idx, slabs.l0]
@@ -154,10 +197,9 @@ def jacobi_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
 
     def down_step(carry, xs):
         u_n_prev, u_np_prev = carry
-        t = block_thomas_solve_tail(
-            _fac_at(slabs.fac, xs["idx"]),
-            trace_rhs_down(xs, u_n_prev, u_np_prev),
-            slabs.trace_tail,
+        t = _solve_one(
+            xs["idx"], trace_rhs_down(xs, u_n_prev, u_np_prev),
+            tail=slabs.trace_tail,
         )
         u_n = xs["tn_init"] + t[xs["ln"]]
         u_np = xs["tnp_init"] + t[xs["lnp"]]
@@ -177,10 +219,7 @@ def jacobi_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
 
     def up_step(carry, xs):
         u_0_next, u_1_next = carry
-        t = block_thomas_solve(
-            _fac_at(slabs.fac, xs["idx"]),
-            trace_rhs_up(xs, u_0_next, u_1_next),
-        )
+        t = _solve_one(xs["idx"], trace_rhs_up(xs, u_0_next, u_1_next))
         u_0 = xs["t0_init"] + t[xs["l0"]]
         u_1 = xs["t1_init"] + t[xs["l1"]]
         return (u_0, u_1), (u_0, u_1)
@@ -208,7 +247,7 @@ def jacobi_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
         u_0_below=u_0_below, u_1_below=u_1_below,
     )
     rhs_fin = jax.vmap(final_rhs)(rhs0, xs_fin)
-    u = jax.vmap(block_thomas_solve)(slabs.fac, rhs_fin)
+    u = _solve_all(rhs_fin)
     return gather_interior(slabs, u)
 
 

@@ -1,0 +1,352 @@
+"""Fused Pallas substitution kernels for the block-Thomas solver.
+
+The XLA path (``sparse/direct.py``) pays ~3x the HBM bound per line: the
+scan body's dynamic-slice gather of the pivot plane materializes an HBM
+copy (read + write) before the matmul reads it back.  Here each grid step
+streams its pivot plane HBM->VMEM through the Pallas pipeline (double
+buffered, overlapping the previous step's compute) and the substitution
+carry lives in a VMEM scratch — the plane is read from HBM exactly once.
+
+Storage: pivot inverses are kept TRANSPOSED in bfloat16 real/imag planes
+padded to lane multiples, so the per-line apply is two row-vector matmuls
+``[yr; yi] @ Cinv^T`` on the MXU.  Bands and the rhs ride as f32 re/im
+rows.  The slab index enters as a scalar-prefetch argument feeding the
+BlockSpec index maps — the DDM sweeps select a slab without gathering its
+multi-GB pivot stack (the very copy this kernel exists to remove).
+
+Numerics match the XLA bf16 path: bf16 pivots, f32 carries/accumulation.
+Replaces the same native surface as ``direct.py`` (UMFPACK/PARDISO solves,
+``src/preconditioner.jl:35``, ``src/subdomains.jl:110-190``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _resolve_interpret(interpret) -> bool:
+    """``None`` -> interpret on the CPU backend (tests run the kernels in
+    interpret mode; compiled Pallas needs TPU, incl. the axon tunnel)."""
+    if interpret is None:
+        return jax.default_backend() == "cpu"
+    return bool(interpret)
+
+
+@struct.dataclass
+class PallasFactorization:
+    """Slab-stacked block-Thomas factors in Pallas-friendly layout.
+
+    Built from :class:`sparse.direct.BlockTridiagFactorization` (batched
+    over slabs or with a singleton slab axis).  ``np_`` is the lane-padded
+    line length; padding rows/columns are zero so carries stay zero there.
+    """
+
+    cinv_t_re: jnp.ndarray   # (S, m, np, np) bf16, TRANSPOSED pivot inverses
+    cinv_t_im: jnp.ndarray   # (S, m, np, np) bf16
+    lband: jnp.ndarray       # (S, m, 2, 3, np) f32 [re, im]
+    uband: jnp.ndarray       # (S, m, 2, 3, np) f32
+    n: int = struct.field(pytree_node=False)      # true line length
+
+    @property
+    def n_slabs(self) -> int:
+        return self.cinv_t_re.shape[0]
+
+    @property
+    def m(self) -> int:
+        return self.cinv_t_re.shape[1]
+
+    @property
+    def np_(self) -> int:
+        return self.cinv_t_re.shape[2]
+
+
+def build_pallas_factorization(fac, batched: bool = True) -> PallasFactorization:
+    """Convert a (batched) ``BlockTridiagFactorization`` (full-precision
+    pivots) or ``BlockTridiagFactorizationBF16`` to the padded, transposed
+    bf16 Pallas layout."""
+    if hasattr(fac, "cinv_re"):
+        cre_raw, cim_raw = fac.cinv_re, fac.cinv_im
+    else:
+        cre_raw = cim_raw = None
+    lband, uband = fac.lband, fac.uband
+    if not batched:
+        lband, uband = lband[None], uband[None]
+    if cre_raw is None:
+        cinv = fac.cinv if batched else fac.cinv[None]
+        S, m, n = cinv.shape[0], cinv.shape[1], cinv.shape[2]
+        npad = _round_up(n, 128)
+        cinv_t = jnp.swapaxes(cinv, -1, -2)
+        pad_nn = [(0, 0), (0, 0), (0, npad - n), (0, npad - n)]
+        cre = jnp.pad(jnp.real(cinv_t), pad_nn).astype(jnp.bfloat16)
+        cim = jnp.pad(jnp.imag(cinv_t), pad_nn).astype(jnp.bfloat16)
+    else:
+        if not batched:
+            cre_raw, cim_raw = cre_raw[None], cim_raw[None]
+        S, m, n = cre_raw.shape[0], cre_raw.shape[1], cre_raw.shape[2]
+        npad = _round_up(n, 128)
+        pad_nn = [(0, 0), (0, 0), (0, npad - n), (0, npad - n)]
+        cre = jnp.pad(jnp.swapaxes(cre_raw, -1, -2), pad_nn)
+        cim = jnp.pad(jnp.swapaxes(cim_raw, -1, -2), pad_nn)
+
+    def band_pack(band):
+        # (S, m, n, 3) complex -> (S, m, 2, 3, np) f32
+        b = jnp.moveaxis(band, -1, -2)                       # (S, m, 3, n)
+        b = jnp.pad(b, [(0, 0), (0, 0), (0, 0), (0, npad - n)])
+        return jnp.stack(
+            [jnp.real(b).astype(jnp.float32), jnp.imag(b).astype(jnp.float32)],
+            axis=2,
+        )
+
+    return PallasFactorization(
+        cinv_t_re=cre, cinv_t_im=cim,
+        lband=band_pack(lband), uband=band_pack(uband), n=n,
+    )
+
+
+def _shift_prev(t):
+    """(2, np) -> value at lane i becomes t[i-1] (zero at i = 0)."""
+    r = pltpu.roll(t, shift=1, axis=1)
+    mask = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1) > 0
+    return jnp.where(mask, r, 0.0)
+
+
+def _shift_next(t):
+    """(2, np) -> value at lane i becomes t[i+1] (zero at the last lane)."""
+    r = pltpu.roll(t, shift=t.shape[1] - 1, axis=1)
+    mask = (
+        jax.lax.broadcasted_iota(jnp.int32, t.shape, 1) < t.shape[1] - 1
+    )
+    return jnp.where(mask, r, 0.0)
+
+
+def _band_apply(band, t):
+    """Tridiagonal complex band times carry: band (2, 3, np), t (2, np)."""
+    taps = (_shift_prev(t), t, _shift_next(t))
+    accr = jnp.zeros_like(t[0])
+    acci = jnp.zeros_like(t[0])
+    for d, tv in enumerate(taps):
+        br, bi = band[0, d], band[1, d]
+        accr = accr + br * tv[0] - bi * tv[1]
+        acci = acci + br * tv[1] + bi * tv[0]
+    return accr, acci
+
+
+def _pivot_dot(y2, cre_ref, cim_ref):
+    """[yr; yi] @ Cinv^T for bf16 transposed planes; f32 accumulation."""
+    cre = cre_ref[0, 0].astype(jnp.float32)
+    cim = cim_ref[0, 0].astype(jnp.float32)
+    zr = jnp.dot(y2, cre, preferred_element_type=jnp.float32)
+    zi = jnp.dot(y2, cim, preferred_element_type=jnp.float32)
+    tr = zr[0] - zi[1]
+    ti = zr[1] + zi[0]
+    return tr, ti
+
+
+def _fwd_kernel(s_ref, b_ref, lb_ref, cre_ref, cim_ref, tinit_ref,
+                y_ref, t_ref, tprev):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        tprev[...] = tinit_ref[...]
+
+    accr, acci = _band_apply(lb_ref[0, 0], tprev[...])
+    yr = b_ref[0, 0] - accr
+    yi = b_ref[0, 1] - acci
+    y_ref[0, 0] = yr
+    y_ref[0, 1] = yi
+    tr, ti = _pivot_dot(jnp.stack([yr, yi]), cre_ref, cim_ref)
+    tprev[0] = tr
+    tprev[1] = ti
+    t_ref[0, 0] = tr
+    t_ref[0, 1] = ti
+
+
+def _bwd_kernel(s_ref, y_ref, ub_ref, cre_ref, cim_ref, x_ref, xnext):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        xnext[...] = jnp.zeros_like(xnext)
+
+    accr, acci = _band_apply(ub_ref[0, 0], xnext[...])
+    wr = y_ref[0, 0] - accr
+    wi = y_ref[0, 1] - acci
+    xr, xi = _pivot_dot(jnp.stack([wr, wi]), cre_ref, cim_ref)
+    xnext[0] = xr
+    xnext[1] = xi
+    x_ref[0, 0] = xr
+    x_ref[0, 1] = xi
+
+
+@functools.partial(jax.jit, static_argnames=("start", "interpret"))
+def _fwd(fac: PallasFactorization, s_idx, b2, t_init, start: int = 0,
+         interpret: bool | None = None):
+    """Forward substitution over lines ``start..m-1``; b2/t_init in the
+    (m, 2, np) / (2, np) f32 layout.  Returns (y2, t2) stacks (m_eff, 2, np)."""
+    interpret = _resolve_interpret(interpret)
+    m, npad = fac.m, fac.np_
+    m_eff = m - start
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m_eff,),
+        in_specs=[
+            pl.BlockSpec((1, 2, npad), lambda j, s: (start + j, 0, 0)),
+            pl.BlockSpec((1, 1, 2, 3, npad),
+                         lambda j, s: (s[0], start + j, 0, 0, 0)),
+            pl.BlockSpec((1, 1, npad, npad),
+                         lambda j, s: (s[0], start + j, 0, 0)),
+            pl.BlockSpec((1, 1, npad, npad),
+                         lambda j, s: (s[0], start + j, 0, 0)),
+            pl.BlockSpec((2, npad), lambda j, s: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 2, npad), lambda j, s: (j, 0, 0)),
+            pl.BlockSpec((1, 2, npad), lambda j, s: (j, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, npad), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _fwd_kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((m_eff, 2, npad), jnp.float32),
+            jax.ShapeDtypeStruct((m_eff, 2, npad), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(s_idx, b2, fac.lband, fac.cinv_t_re, fac.cinv_t_im, t_init)
+
+
+@functools.partial(jax.jit, static_argnames=("tail", "interpret"))
+def _bwd(fac: PallasFactorization, s_idx, y2, tail: int = 0,
+         interpret: bool | None = None):
+    """Backward substitution; ``tail > 0`` computes only the last ``tail``
+    lines.  ``y2`` is the FULL (m, 2, np) stack; returns (m_eff, 2, np)
+    ordered bottom-up-reversed back to top-down."""
+    interpret = _resolve_interpret(interpret)
+    m, npad = fac.m, fac.np_
+    m_eff = m if tail <= 0 or tail >= m else tail
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m_eff,),
+        in_specs=[
+            pl.BlockSpec((1, 2, npad), lambda j, s: (m - 1 - j, 0, 0)),
+            pl.BlockSpec((1, 1, 2, 3, npad),
+                         lambda j, s: (s[0], m - 1 - j, 0, 0, 0)),
+            pl.BlockSpec((1, 1, npad, npad),
+                         lambda j, s: (s[0], m - 1 - j, 0, 0)),
+            pl.BlockSpec((1, 1, npad, npad),
+                         lambda j, s: (s[0], m - 1 - j, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 2, npad), lambda j, s: (m_eff - 1 - j, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((2, npad), jnp.float32)],
+    )
+    (x2,) = pl.pallas_call(
+        _bwd_kernel,
+        out_shape=[jax.ShapeDtypeStruct((m_eff, 2, npad), jnp.float32)],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(s_idx, y2, fac.uband, fac.cinv_t_re, fac.cinv_t_im)
+    return x2
+
+
+def _to_rows(fac: PallasFactorization, b: jnp.ndarray) -> jnp.ndarray:
+    """Complex (m, n)-shaped rhs -> (m, 2, np) f32 rows."""
+    m, n, npad = fac.m, fac.n, fac.np_
+    bg = b.reshape(m, n)
+    rows = jnp.stack(
+        [jnp.real(bg).astype(jnp.float32), jnp.imag(bg).astype(jnp.float32)],
+        axis=1,
+    )
+    return jnp.pad(rows, [(0, 0), (0, 0), (0, npad - n)])
+
+
+def _from_rows(rows: jnp.ndarray, n: int, dtype, m: int,
+               offset: int = 0) -> jnp.ndarray:
+    """(m_eff, 2, np) f32 rows -> complex (m, n), zero outside the computed
+    window ``[offset, offset + m_eff)``."""
+    x = jax.lax.complex(rows[:, 0, :n], rows[:, 1, :n]).astype(dtype)
+    if x.shape[0] == m:
+        return x
+    out = jnp.zeros((m, n), dtype)
+    return jax.lax.dynamic_update_slice(out, x, (offset, 0))
+
+
+def solve(fac: PallasFactorization, s_idx, b: jnp.ndarray, tail: int = 0,
+          interpret: bool | None = None) -> jnp.ndarray:
+    """``S x = b`` for slab ``s_idx`` (traced scalar ok); semantics of
+    ``direct.block_thomas_solve(_tail)``."""
+    s = jnp.asarray(s_idx, jnp.int32).reshape(1)
+    dtype = b.dtype
+    b2 = _to_rows(fac, b)
+    zeros = jnp.zeros((2, fac.np_), jnp.float32)
+    y2, _ = _fwd(fac, s, b2, zeros, interpret=interpret)
+    x2 = _bwd(fac, s, y2, tail=tail, interpret=interpret)
+    off = 0 if (tail <= 0 or tail >= fac.m) else fac.m - tail
+    return _from_rows(x2, fac.n, dtype, fac.m, off).reshape(b.shape)
+
+
+def solve_cached(fac: PallasFactorization, s_idx, b: jnp.ndarray,
+                 tail: int = 0, interpret: bool | None = None):
+    """Tail solve + forward-pass caches (``block_thomas_solve_cached``)."""
+    s = jnp.asarray(s_idx, jnp.int32).reshape(1)
+    dtype = b.dtype
+    b2 = _to_rows(fac, b)
+    zeros = jnp.zeros((2, fac.np_), jnp.float32)
+    y2, t2 = _fwd(fac, s, b2, zeros, interpret=interpret)
+    x2 = _bwd(fac, s, y2, tail=tail, interpret=interpret)
+    off = 0 if (tail <= 0 or tail >= fac.m) else fac.m - tail
+    return _from_rows(x2, fac.n, dtype, fac.m, off).reshape(b.shape), y2, t2
+
+
+def solve_resume(fac: PallasFactorization, s_idx, b: jnp.ndarray,
+                 y_cached: jnp.ndarray, t_cached: jnp.ndarray, resume: int,
+                 interpret: bool | None = None) -> jnp.ndarray:
+    """Solve where b differs from the cached rhs only on the last ``resume``
+    lines (``block_thomas_solve_resume``)."""
+    m = fac.m
+    if resume <= 0 or resume >= m:
+        return solve(fac, s_idx, b, interpret=interpret)
+    s = jnp.asarray(s_idx, jnp.int32).reshape(1)
+    dtype = b.dtype
+    b2 = _to_rows(fac, b)
+    j0 = m - resume
+    y_new, _ = _fwd(fac, s, b2, t_cached[j0 - 1], start=j0,
+                    interpret=interpret)
+    y2 = jnp.concatenate([y_cached[:j0], y_new], axis=0)
+    x2 = _bwd(fac, s, y2, interpret=interpret)
+    return _from_rows(x2, fac.n, dtype, m).reshape(b.shape)
+
+
+def solve_support(fac: PallasFactorization, s_idx, b: jnp.ndarray,
+                  start: int = 0, tail: int = 0,
+                  interpret: bool | None = None) -> jnp.ndarray:
+    """Solve with b zero on lines < ``start``
+    (``block_thomas_solve_support``)."""
+    m = fac.m
+    if start <= 0 or start >= m:
+        return solve(fac, s_idx, b, tail=tail, interpret=interpret)
+    s = jnp.asarray(s_idx, jnp.int32).reshape(1)
+    dtype = b.dtype
+    b2 = _to_rows(fac, b)
+    zeros = jnp.zeros((2, fac.np_), jnp.float32)
+    y_new, _ = _fwd(fac, s, b2, zeros, start=start, interpret=interpret)
+    y2 = jnp.concatenate(
+        [jnp.zeros((start, 2, fac.np_), jnp.float32), y_new], axis=0
+    )
+    x2 = _bwd(fac, s, y2, tail=tail, interpret=interpret)
+    off = 0 if (tail <= 0 or tail >= m) else m - tail
+    return _from_rows(x2, fac.n, dtype, m, off).reshape(b.shape)

@@ -1,0 +1,119 @@
+"""Fused Pallas block-Thomas kernels (interpret mode on CPU) vs the XLA
+bf16 substitution path — same storage precisions, so agreement is at f32
+rounding level, not bf16 level."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fast_solver_lippmann_schwinger_tpu.sparse import pallas_thomas as pt
+from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
+    block_thomas_solve,
+    block_thomas_solve_cached,
+    block_thomas_solve_resume,
+    block_thomas_solve_support,
+    block_thomas_solve_tail,
+    compress_factorization,
+    factor_stencil_2d,
+)
+from fast_solver_lippmann_schwinger_tpu.sparse.stencil_matrix import StencilMatrix2D
+
+M, N = 12, 40
+TOL = 5e-5
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(3)
+    vals = rng.standard_normal((2, M, N, 3, 3)) + 1j * rng.standard_normal(
+        (2, M, N, 3, 3)
+    )
+    vals = vals.astype(np.complex64)
+    vals[:, :, :, 1, 1] += 12.0
+    facs = jax.vmap(lambda v: factor_stencil_2d(StencilMatrix2D(values=v)))(
+        jnp.asarray(vals)
+    )
+    fac_bf = jax.vmap(compress_factorization)(facs)
+    pfac = pt.build_pallas_factorization(facs)
+    b = (rng.standard_normal((M, N)) + 1j * rng.standard_normal((M, N))).astype(
+        np.complex64
+    )
+    return fac_bf, pfac, jnp.asarray(b)
+
+
+def _fac_at(fac, i):
+    return jax.tree_util.tree_map(lambda a: a[i], fac)
+
+
+def _relerr(a, b):
+    return float(jnp.max(jnp.abs(a - b)) / jnp.max(jnp.abs(b)))
+
+
+def test_solve_and_slab_select(setup):
+    fac_bf, pfac, b = setup
+    for s in (0, 1):
+        ref = block_thomas_solve(_fac_at(fac_bf, s), b)
+        got = pt.solve(pfac, s, b)
+        assert _relerr(got, ref) < TOL
+
+
+def test_tail(setup):
+    fac_bf, pfac, b = setup
+    ref = block_thomas_solve_tail(_fac_at(fac_bf, 0), b, 4)
+    got = pt.solve(pfac, 0, b, tail=4)
+    assert _relerr(got, ref) < TOL
+
+
+def test_cached_and_resume(setup):
+    fac_bf, pfac, b = setup
+    x_ref, y_ref, t_ref = block_thomas_solve_cached(_fac_at(fac_bf, 0), b, 4)
+    x_pl, y_pl, t_pl = pt.solve_cached(pfac, 0, b, tail=4)
+    assert _relerr(x_pl, x_ref) < TOL
+    b2 = b.at[M - 3 :].add(1.0 + 0.5j)
+    r_ref = block_thomas_solve_resume(_fac_at(fac_bf, 0), b2, y_ref, t_ref, 4)
+    r_pl = pt.solve_resume(pfac, 0, b2, y_pl, t_pl, 4)
+    assert _relerr(r_pl, r_ref) < TOL
+
+
+def test_support(setup):
+    fac_bf, pfac, b = setup
+    bs = jnp.zeros_like(b).at[5:].set(b[5:])
+    ref = block_thomas_solve_support(_fac_at(fac_bf, 0), bs, start=5, tail=4)
+    got = pt.solve_support(pfac, 0, bs, start=5, tail=4)
+    assert _relerr(got, ref) < TOL
+
+
+def test_gs_sweep_pallas_dispatch():
+    """gs_sweep with the Pallas layout attached matches the XLA bf16 sweep."""
+    from fast_solver_lippmann_schwinger_tpu.core.grids import Grid2D
+    from fast_solver_lippmann_schwinger_tpu.ddm.subdomain import (
+        attach_pallas,
+        build_slab_system,
+    )
+    from fast_solver_lippmann_schwinger_tpu.ddm.sweeps import gs_sweep
+    from fast_solver_lippmann_schwinger_tpu.models import media
+    from fast_solver_lippmann_schwinger_tpu.sparse import stencils
+
+    h = 1.0 / 40.0
+    grid = Grid2D(a=1.0, h=h)
+    k = 1.0 / h
+    X, Y = grid.mesh()
+    nu = media.gaussian_bump_2d(X, Y)
+    a_st, ag_st, a_np, ag_np = stencils.build_sparse_a_ag_2d(
+        k, grid.x, grid.y, h, dtype=jnp.complex64, return_host=True
+    )
+    slabs = build_slab_system(
+        a_st, ag_st, nu, grid.x, grid.y, h, k, 3, npml=5,
+        a_host=a_np, ag_host=ag_np, pivot_dtype="bf16",
+    )
+    slabs_pl = attach_pallas(slabs)
+    rng = np.random.default_rng(5)
+    b = (
+        rng.standard_normal(grid.shape[0] * grid.shape[1])
+        + 1j * rng.standard_normal(grid.shape[0] * grid.shape[1])
+    ).astype(np.complex64)
+    b = jnp.asarray(b)
+    u_ref = gs_sweep(slabs, b)
+    u_pl = gs_sweep(slabs_pl, b)
+    assert _relerr(u_pl, u_ref) < 1e-3
