@@ -43,19 +43,13 @@ from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
 )
 from fast_solver_lippmann_schwinger_tpu.sparse.stencil_matrix import StencilMatrix2D
 
-def _require_xla_fac(slabs_or_fac):
-    fac = getattr(slabs_or_fac, "fac", slabs_or_fac)
-    if fac.cinv.size == 0:
-        raise ValueError(
-            "polarized-traces solves need XLA pivot storage; build the slab "
-            "system with pivot_dtype='full'/'bf16'/'banded' (the fused-"
-            "Pallas layout is sweep-only until its multi-RHS form lands)"
-        )
-    return fac
+def _solve_batched(slabs, rhs):
+    """One solve per slab, all slabs at once; rhs (S, m1_max, n[, r])."""
+    if slabs.pfac is not None:
+        from fast_solver_lippmann_schwinger_tpu.sparse import pallas_thomas as pt
 
-
-def _solve_batched(fac, rhs):
-    return jax.vmap(block_thomas_solve)(_require_xla_fac(fac), rhs)
+        return pt.solve_all(slabs.pfac, jnp.arange(slabs.n_subs), rhs)
+    return jax.vmap(block_thomas_solve)(slabs.fac, rhs)
 
 
 def _devectorize(slabs: SlabSystem, u_gamma: jnp.ndarray):
@@ -83,7 +77,6 @@ def _interface_vector(slabs: SlabSystem, upper_slot, lower_slot):
 def block_apply(slabs: SlabSystem, v0, v1, vN, vNp):
     """Batched ``applyBlockOperator``: one local solve per slab driven by
     interface sources; returns traces (u0, u1, uN, uNp) each (S, n[, r])."""
-    _require_xla_fac(slabs)
     dtype = slabs.cpl_01.dtype
     extra = v0.shape[2:]
     rhs = jnp.zeros((slabs.n_subs, slabs.m1_max, slabs.n) + extra, dtype=dtype)
@@ -111,14 +104,21 @@ def block_apply(slabs: SlabSystem, v0, v1, vN, vNp):
     rhs = jax.vmap(fill)(rhs, xs)
     # trace-driven rhs: zero above the first trace line, so the forward
     # substitution head-starts there (exact)
-    u = jax.vmap(
-        lambda f, r: block_thomas_solve_support(f, r, start=slabs.trace_head)
-    )(slabs.fac, rhs)
+    if slabs.pfac is not None:
+        from fast_solver_lippmann_schwinger_tpu.sparse import pallas_thomas as pt
+
+        u = pt.solve_all(
+            slabs.pfac, jnp.arange(slabs.n_subs), rhs, start=slabs.trace_head
+        )
+    else:
+        u = jax.vmap(
+            lambda f, r: block_thomas_solve_support(f, r, start=slabs.trace_head)
+        )(slabs.fac, rhs)
     idx = jnp.arange(slabs.n_subs)
     return (u[idx, slabs.l0], u[idx, slabs.l1], u[idx, slabs.ln], u[idx, slabs.lnp])
 
 
-def _block_apply_single(slabs, s_fac, v0, v1, vN, vNp, l0, l1, ln, lnp,
+def _block_apply_single(slabs, idx, v0, v1, vN, vNp, l0, l1, ln, lnp,
                         cpl_01, cpl_10, cpl_n_np, cpl_np_n,
                         has_top, has_bot, start=0, tail=0):
     """Single-slab block apply used inside the sequential Dinv recursions.
@@ -134,7 +134,14 @@ def _block_apply_single(slabs, s_fac, v0, v1, vN, vNp, l0, l1, ln, lnp,
     rhs = rhs.at[l0].set(jnp.where(has_top, band_matvec(cpl_01, v1), zero))
     rhs = rhs.at[lnp].set(jnp.where(has_bot, band_matvec(cpl_np_n, vN), zero))
     rhs = rhs.at[ln].set(jnp.where(has_bot, -band_matvec(cpl_n_np, vNp), zero))
-    u = block_thomas_solve_support(s_fac, rhs, start=start, tail=tail)
+    if slabs.pfac is not None:
+        from fast_solver_lippmann_schwinger_tpu.sparse import pallas_thomas as pt
+
+        u = pt.solve_support(slabs.pfac, idx, rhs, start=start, tail=tail)
+    else:
+        u = block_thomas_solve_support(
+            _fac_at(slabs.fac, idx), rhs, start=start, tail=tail
+        )
     return u[l0], u[l1], u[ln], u[lnp]
 
 
@@ -275,7 +282,6 @@ def apply_dinv_down(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
     ``src/subdomains.jl:725-753``): interface 0 is negated; each next
     interface's value is the transmitted trace through the slab in between
     minus the input."""
-    _require_xla_fac(slabs)
     S, n = slabs.n_subs, slabs.n
     g = u_gamma.reshape(S - 1, 2, n)
     first = -g[0]
@@ -286,7 +292,7 @@ def apply_dinv_down(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
         # top-trace sources only, bottom traces consumed: head-start the
         # forward pass and truncate the backward pass (both exact)
         _, _, tN, tNp = _block_apply_single(
-            slabs, _fac_at(slabs.fac, xs["idx"]), vN, vNp, zero, zero,
+            slabs, xs["idx"], vN, vNp, zero, zero,
             xs["l0"], xs["l1"], xs["ln"], xs["lnp"],
             xs["cpl_01"], xs["cpl_10"], xs["cpl_n_np"], xs["cpl_np_n"],
             xs["has_top"], xs["has_bot"],
@@ -304,7 +310,6 @@ def apply_dinv_down(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
 def apply_dinv_up(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
     """Sequential upward D^{-1} recursion (``applyDinvUp``,
     ``src/subdomains.jl:785-814``)."""
-    _require_xla_fac(slabs)
     S, n = slabs.n_subs, slabs.n
     g = u_gamma.reshape(S - 1, 2, n)
     last = -g[S - 2]
@@ -315,7 +320,7 @@ def apply_dinv_up(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
         # bottom-trace sources only, top traces consumed: the forward pass
         # head-starts at the first bottom-trace line (exact)
         t0, t1, _, _ = _block_apply_single(
-            slabs, _fac_at(slabs.fac, xs["idx"]), zero, zero, v0, v1,
+            slabs, xs["idx"], zero, zero, v0, v1,
             xs["l0"], xs["l1"], xs["ln"], xs["lnp"],
             xs["cpl_01"], xs["cpl_10"], xs["cpl_n_np"], xs["cpl_np_n"],
             xs["has_top"], xs["has_bot"],
@@ -405,7 +410,7 @@ def extract_rhs_traces(slabs: SlabSystem, b: jnp.ndarray):
     (``extractRHS``/``extractFullBoundaryData``, ``src/subdomains.jl:309-359``).
     Returns (u_0, u_1, u_n, u_np) each (S, n), zeroed where absent."""
     rhs = partition_source(slabs, b)
-    u = _solve_batched(slabs.fac, rhs)
+    u = _solve_batched(slabs, rhs)
     idx = jnp.arange(slabs.n_subs)
     mask_top = slabs.has_top[:, None]
     mask_bot = slabs.has_bot[:, None]
@@ -444,7 +449,7 @@ def reconstruction(slabs: SlabSystem, b: jnp.ndarray, v0, v1, vn, vnp):
         cpl_n_np=slabs.cpl_n_np, cpl_np_n=slabs.cpl_np_n,
     )
     rhs = jax.vmap(add_sources)(rhs, xs)
-    u = _solve_batched(slabs.fac, rhs)
+    u = _solve_batched(slabs, rhs)
     return gather_interior(slabs, u)
 
 

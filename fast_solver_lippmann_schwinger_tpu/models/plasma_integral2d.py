@@ -43,6 +43,8 @@ def build_problem(
     n_it: int = 2,
     quad_rule: str = "trapezoidal",
     dtype=jnp.complex64,
+    pivot_dtype: str = "full",
+    pivot_band=None,
 ) -> PlasmaIntegral2DProblem:
     grid = Grid2D(a=1.0, h=h)
     k = 1.0 / h
@@ -57,7 +59,8 @@ def build_problem(
     )
     slabs = build_slab_system(
         a_st, ag_st, nu, grid.x, grid.y, h, k, n_subdomains, npml=npml,
-        a_host=a_np, ag_host=ag_np,
+        a_host=a_np, ag_host=ag_np, pivot_dtype=pivot_dtype,
+        pivot_band=pivot_band,
     )
     precond = PolarizedTracesPreconditioner(slabs=slabs, a_s=a_st, n_it=n_it)
     return PlasmaIntegral2DProblem(grid=grid, k=k, op=op, precond=precond)

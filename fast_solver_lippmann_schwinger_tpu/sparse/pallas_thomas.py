@@ -350,3 +350,198 @@ def solve_support(fac: PallasFactorization, s_idx, b: jnp.ndarray,
     x2 = _bwd(fac, s, y2, tail=tail, interpret=interpret)
     off = 0 if (tail <= 0 or tail >= m) else m - tail
     return _from_rows(x2, fac.n, dtype, m, off).reshape(b.shape)
+
+
+# ---------------------------------------------------------------------------
+# Batched multi-RHS solves (all slabs at once, r right-hand sides each).
+#
+# The polarized-traces layer (ddm/polarized.py) drives ONE local solve per
+# slab with up to r = 2 stacked right-hand sides (``applyBlockOperator``,
+# ``src/subdomains.jl:212-271``).  Rows are stacked [re_0..re_{r-1},
+# im_0..im_{r-1}] so the per-line pivot apply is a single (2r, np) @ (np, np)
+# MXU matmul pair; the grid is (slab, line) with the line axis innermost, so
+# each slab's substitution carry resets at line 0 and every pivot plane is
+# still read from HBM exactly once.
+# ---------------------------------------------------------------------------
+
+
+def _band_apply_multi(band, t):
+    """Tridiagonal complex band times multi-RHS carry: band (2, 3, np),
+    t (2r, np) stacked [re rows; im rows]."""
+    r = t.shape[0] // 2
+    tr, ti = t[:r], t[r:]
+    taps = (
+        (_shift_prev(tr), _shift_prev(ti)),
+        (tr, ti),
+        (_shift_next(tr), _shift_next(ti)),
+    )
+    accr = jnp.zeros_like(tr)
+    acci = jnp.zeros_like(ti)
+    for d, (sr, si) in enumerate(taps):
+        br, bi = band[0, d], band[1, d]
+        accr = accr + br * sr - bi * si
+        acci = acci + br * si + bi * sr
+    return accr, acci
+
+
+def _pivot_dot_multi(y, cre_ref, cim_ref):
+    """[Yr; Yi] @ Cinv^T for (2r, np) stacked rows; f32 accumulation."""
+    cre = cre_ref[0, 0].astype(jnp.float32)
+    cim = cim_ref[0, 0].astype(jnp.float32)
+    z1 = jnp.dot(y, cre, preferred_element_type=jnp.float32)
+    z2 = jnp.dot(y, cim, preferred_element_type=jnp.float32)
+    r = y.shape[0] // 2
+    tr = z1[:r] - z2[r:]
+    ti = z1[r:] + z2[:r]
+    return jnp.concatenate([tr, ti], axis=0)
+
+
+def _fwd_kernel_b(s_ref, b_ref, lb_ref, cre_ref, cim_ref, y_ref, tprev):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        tprev[...] = jnp.zeros_like(tprev)
+
+    r = tprev.shape[0] // 2
+    accr, acci = _band_apply_multi(lb_ref[0, 0], tprev[...])
+    b = b_ref[0, 0]
+    y = jnp.concatenate([b[:r] - accr, b[r:] - acci], axis=0)
+    y_ref[0, 0] = y
+    tprev[...] = _pivot_dot_multi(y, cre_ref, cim_ref)
+
+
+def _bwd_kernel_b(s_ref, y_ref, ub_ref, cre_ref, cim_ref, x_ref, xnext):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        xnext[...] = jnp.zeros_like(xnext)
+
+    r = xnext.shape[0] // 2
+    accr, acci = _band_apply_multi(ub_ref[0, 0], xnext[...])
+    y = y_ref[0, 0]
+    w = jnp.concatenate([y[:r] - accr, y[r:] - acci], axis=0)
+    xn = _pivot_dot_multi(w, cre_ref, cim_ref)
+    xnext[...] = xn
+    x_ref[0, 0] = xn
+
+
+@functools.partial(jax.jit, static_argnames=("start", "interpret"))
+def _fwd_b(fac: PallasFactorization, s_idx, b4, start: int = 0,
+           interpret: bool | None = None):
+    """Batched forward substitution; b4 is (S, m, 2r, np) f32.  Returns the
+    y stack (S, m_eff, 2r, np) over lines ``start..m-1``."""
+    interpret = _resolve_interpret(interpret)
+    S, r2 = b4.shape[0], b4.shape[2]
+    m, npad = fac.m, fac.np_
+    m_eff = m - start
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(S, m_eff),
+        in_specs=[
+            pl.BlockSpec((1, 1, r2, npad), lambda i, j, s: (i, start + j, 0, 0)),
+            pl.BlockSpec((1, 1, 2, 3, npad),
+                         lambda i, j, s: (s[i], start + j, 0, 0, 0)),
+            pl.BlockSpec((1, 1, npad, npad),
+                         lambda i, j, s: (s[i], start + j, 0, 0)),
+            pl.BlockSpec((1, 1, npad, npad),
+                         lambda i, j, s: (s[i], start + j, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, r2, npad), lambda i, j, s: (i, j, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((r2, npad), jnp.float32)],
+    )
+    (y4,) = pl.pallas_call(
+        _fwd_kernel_b,
+        out_shape=[jax.ShapeDtypeStruct((S, m_eff, r2, npad), jnp.float32)],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(s_idx, b4, fac.lband, fac.cinv_t_re, fac.cinv_t_im)
+    return y4
+
+
+@functools.partial(jax.jit, static_argnames=("tail", "interpret"))
+def _bwd_b(fac: PallasFactorization, s_idx, y4, tail: int = 0,
+           interpret: bool | None = None):
+    """Batched backward substitution over the FULL (S, m, 2r, np) y stack;
+    ``tail > 0`` materializes only the last ``tail`` lines."""
+    interpret = _resolve_interpret(interpret)
+    S, r2 = y4.shape[0], y4.shape[2]
+    m, npad = fac.m, fac.np_
+    m_eff = m if tail <= 0 or tail >= m else tail
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(S, m_eff),
+        in_specs=[
+            pl.BlockSpec((1, 1, r2, npad), lambda i, j, s: (i, m - 1 - j, 0, 0)),
+            pl.BlockSpec((1, 1, 2, 3, npad),
+                         lambda i, j, s: (s[i], m - 1 - j, 0, 0, 0)),
+            pl.BlockSpec((1, 1, npad, npad),
+                         lambda i, j, s: (s[i], m - 1 - j, 0, 0)),
+            pl.BlockSpec((1, 1, npad, npad),
+                         lambda i, j, s: (s[i], m - 1 - j, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, r2, npad),
+                         lambda i, j, s: (i, m_eff - 1 - j, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((r2, npad), jnp.float32)],
+    )
+    (x4,) = pl.pallas_call(
+        _bwd_kernel_b,
+        out_shape=[jax.ShapeDtypeStruct((S, m_eff, r2, npad), jnp.float32)],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(s_idx, y4, fac.uband, fac.cinv_t_re, fac.cinv_t_im)
+    return x4
+
+
+def _to_rows_b(fac: PallasFactorization, b: jnp.ndarray) -> jnp.ndarray:
+    """Complex (S, m, n[, r]) rhs -> (S, m, 2r, np) f32 stacked rows."""
+    S, m, n, npad = b.shape[0], fac.m, fac.n, fac.np_
+    bg = b.reshape(S, m, n, -1)
+    rows = jnp.concatenate(
+        [jnp.real(bg), jnp.imag(bg)], axis=-1
+    ).astype(jnp.float32)
+    rows = jnp.moveaxis(rows, -1, 2)                      # (S, m, 2r, n)
+    return jnp.pad(rows, [(0, 0), (0, 0), (0, 0), (0, npad - n)])
+
+
+def _from_rows_b(rows: jnp.ndarray, n: int, dtype, m: int,
+                 offset: int = 0) -> jnp.ndarray:
+    """(S, m_eff, 2r, np) f32 rows -> complex (S, m, n, r), zero outside the
+    computed window ``[offset, offset + m_eff)`` along lines."""
+    r = rows.shape[2] // 2
+    x = jax.lax.complex(rows[:, :, :r, :n], rows[:, :, r:, :n]).astype(dtype)
+    x = jnp.moveaxis(x, 2, -1)                            # (S, m_eff, n, r)
+    if x.shape[1] == m:
+        return x
+    out = jnp.zeros((x.shape[0], m, n, r), dtype)
+    return jax.lax.dynamic_update_slice(out, x, (0, offset, 0, 0))
+
+
+def solve_all(fac: PallasFactorization, s_idx, b: jnp.ndarray,
+              start: int = 0, tail: int = 0,
+              interpret: bool | None = None) -> jnp.ndarray:
+    """Solve every slab's system at once: ``b`` is (S, m, n) or (S, m, n, r)
+    complex with slab ``s_idx[i]``'s factors applied to batch row i.  ``start``
+    asserts the rhs is zero on lines < start (exact head-start); ``tail``
+    truncates the backward pass.  Batched counterpart of
+    ``vmap(block_thomas_solve_support)``."""
+    s = jnp.asarray(s_idx, jnp.int32).reshape(-1)
+    dtype = b.dtype
+    m = fac.m
+    b4 = _to_rows_b(fac, b)
+    if start >= m:
+        start = 0
+    y4 = _fwd_b(fac, s, b4, start=max(start, 0), interpret=interpret)
+    if 0 < start < m:
+        y4 = jnp.concatenate(
+            [jnp.zeros((b4.shape[0], start) + y4.shape[2:], jnp.float32), y4],
+            axis=1,
+        )
+    x4 = _bwd_b(fac, s, y4, tail=tail, interpret=interpret)
+    off = 0 if (tail <= 0 or tail >= m) else m - tail
+    return _from_rows_b(x4, fac.n, dtype, m, off).reshape(b.shape)

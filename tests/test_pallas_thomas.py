@@ -84,6 +84,79 @@ def test_support(setup):
     assert _relerr(got, ref) < TOL
 
 
+def test_solve_all_multirhs(setup):
+    """Batched multi-RHS solve_all vs the vmapped XLA bf16 path."""
+    fac_bf, pfac, b = setup
+    rng = np.random.default_rng(7)
+    bb = (
+        rng.standard_normal((2, M, N, 3)) + 1j * rng.standard_normal((2, M, N, 3))
+    ).astype(np.complex64)
+    bb = jnp.asarray(bb)
+    got = pt.solve_all(pfac, jnp.arange(2), bb)
+    ref = jax.vmap(block_thomas_solve)(fac_bf, bb)
+    assert _relerr(got, ref) < TOL
+    # head-start + tail truncation, and slab permutation
+    bs = bb[..., 0].at[:, :5].set(0.0)
+    perm = jnp.asarray([1, 0])
+    got2 = pt.solve_all(pfac, perm, bs[perm], start=5, tail=4)
+    ref2 = jax.vmap(
+        lambda f, r: block_thomas_solve_support(f, r, start=5, tail=4)
+    )(fac_bf, bs)[perm]
+    assert _relerr(got2, ref2) < TOL
+
+
+def test_polarized_pallas_dispatch():
+    """Polarized-traces block operators with pivot_dtype='pallas' match the
+    XLA bf16 pivot storage."""
+    from fast_solver_lippmann_schwinger_tpu.core.grids import Grid2D
+    from fast_solver_lippmann_schwinger_tpu.ddm import polarized
+    from fast_solver_lippmann_schwinger_tpu.ddm.subdomain import build_slab_system
+    from fast_solver_lippmann_schwinger_tpu.models import media
+    from fast_solver_lippmann_schwinger_tpu.sparse import stencils
+
+    h = 1.0 / 40.0
+    grid = Grid2D(a=1.0, h=h)
+    k = 1.0 / h
+    X, Y = grid.mesh()
+    a_st, ag_st, a_np, ag_np = stencils.build_sparse_a_ag_2d(
+        k, grid.x, grid.y, h, dtype=jnp.complex64, return_host=True
+    )
+    nu = media.gaussian_bump_2d(X, Y)
+    kw = dict(a_host=a_np, ag_host=ag_np, npml=5)
+    slabs_bf = build_slab_system(
+        a_st, ag_st, nu, grid.x, grid.y, h, k, 3, pivot_dtype="bf16", **kw
+    )
+    slabs_pl = build_slab_system(
+        a_st, ag_st, nu, grid.x, grid.y, h, k, 3, pivot_dtype="pallas", **kw
+    )
+    rng = np.random.default_rng(11)
+    size = 4 * (slabs_bf.n_subs - 1) * slabs_bf.n
+    u = jnp.asarray(
+        rng.standard_normal(size) + 1j * rng.standard_normal(size)
+    ).astype(jnp.complex64)
+    assert _relerr(
+        polarized.apply_mm(slabs_pl, u), polarized.apply_mm(slabs_bf, u)
+    ) < 1e-4
+    half = u[: size // 2]
+    assert _relerr(
+        polarized.apply_dinv_down(slabs_pl, half),
+        polarized.apply_dinv_down(slabs_bf, half),
+    ) < 1e-4
+    assert _relerr(
+        polarized.apply_dinv_up(slabs_pl, half),
+        polarized.apply_dinv_up(slabs_bf, half),
+    ) < 1e-4
+    b = jnp.asarray(
+        rng.standard_normal(slabs_bf.m * slabs_bf.n)
+        + 1j * rng.standard_normal(slabs_bf.m * slabs_bf.n)
+    ).astype(jnp.complex64)
+    v0, v1, vn, vnp = polarized._devectorize(slabs_bf, half)
+    assert _relerr(
+        polarized.reconstruction(slabs_pl, b, v0, v1, vn, vnp),
+        polarized.reconstruction(slabs_bf, b, v0, v1, vn, vnp),
+    ) < 1e-4
+
+
 def test_gs_sweep_pallas_dispatch():
     """gs_sweep with the Pallas layout attached matches the XLA bf16 sweep."""
     from fast_solver_lippmann_schwinger_tpu.core.grids import Grid2D
