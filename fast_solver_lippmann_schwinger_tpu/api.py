@@ -73,14 +73,16 @@ def build_problem(cfg: ProblemConfig) -> Problem:
         X, Y = grid.mesh()
         nu = _MEDIA_2D[cfg.medium](X, Y)
         op = build_fast_convolution_2d(
-            grid.x, grid.y, cfg.h, k, nu, quad_rule=cfg.quad_rule, dtype=dtype
+            grid.x, grid.y, cfg.h, k, nu, quad_rule=cfg.quad_rule, dtype=dtype,
+            prefer_pow2=cfg.prefer_pow2,
         )
     elif cfg.dim == 3:
         grid = Grid3D(a=cfg.a, h=cfg.h)
         X, Y, Z = grid.mesh()
         nu = _MEDIA_3D[cfg.medium](X, Y, Z)
         op = build_fast_convolution_3d(
-            grid.x, grid.x, grid.x, cfg.h, k, nu, dtype=dtype
+            grid.x, grid.x, grid.x, cfg.h, k, nu, dtype=dtype,
+            prefer_pow2=cfg.prefer_pow2,
         )
     else:
         raise ValueError(f"dim must be 2 or 3, got {cfg.dim}")

@@ -71,6 +71,9 @@ class ProblemConfig:
     a: float = 1.0                     # domain half-extent/size
     k: float | None = None             # defaults to 1/h (reference convention)
     quad_rule: QuadRule = QuadRule.GREENGARD_VICO
+    prefer_pow2: bool | None = None    # extended-FFT size class: True = pow2
+                                       # (TPU fast path), False = 5-smooth,
+                                       # None = sniff the current backend
     precond: str = "sparsifying"
     pivot_dtype: str = "full"          # full | bf16 | banded | pallas (DDM pivots)
     pivot_band: int | None = None      # band width for pivot_dtype="banded"

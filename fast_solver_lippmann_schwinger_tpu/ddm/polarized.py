@@ -36,6 +36,7 @@ from fast_solver_lippmann_schwinger_tpu.ddm.subdomain import (
     partition_source,
 )
 from fast_solver_lippmann_schwinger_tpu.solver.gmres import gmres
+from fast_solver_lippmann_schwinger_tpu.sparse import pallas_thomas as pt
 from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
     band_matvec,
     block_thomas_solve,
@@ -43,12 +44,26 @@ from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
 )
 from fast_solver_lippmann_schwinger_tpu.sparse.stencil_matrix import StencilMatrix2D
 
-def _solve_batched(slabs, rhs):
-    """One solve per slab, all slabs at once; rhs (S, m1_max, n[, r])."""
-    if slabs.pfac is not None:
-        from fast_solver_lippmann_schwinger_tpu.sparse import pallas_thomas as pt
 
-        return pt.solve_all(slabs.pfac, jnp.arange(slabs.n_subs), rhs)
+def _pallas_only(slabs) -> bool:
+    """True when the fused-Pallas layout is the SOLE pivot storage
+    (``pivot_dtype="pallas"``: the XLA-side ``fac`` carries an empty
+    placeholder pivot stack).  ``attach_pallas`` applied to a system built
+    with full-precision pivots accelerates the volume sweeps only — this
+    layer keeps the full-precision local solves rather than silently
+    downgrading to bf16 Pallas pivots."""
+    return slabs.pfac is not None and slabs.fac.cinv.shape[-1] == 0
+
+
+def _solve_batched(slabs, rhs, start: int = 0):
+    """One solve per slab, all slabs at once; rhs (S, m1_max, n[, r]).
+    ``start`` asserts the rhs is zero on lines < start (exact head-start)."""
+    if _pallas_only(slabs):
+        return pt.solve_all(slabs.pfac, jnp.arange(slabs.n_subs), rhs, start=start)
+    if start > 0:
+        return jax.vmap(
+            lambda f, r: block_thomas_solve_support(f, r, start=start)
+        )(slabs.fac, rhs)
     return jax.vmap(block_thomas_solve)(slabs.fac, rhs)
 
 
@@ -104,16 +119,7 @@ def block_apply(slabs: SlabSystem, v0, v1, vN, vNp):
     rhs = jax.vmap(fill)(rhs, xs)
     # trace-driven rhs: zero above the first trace line, so the forward
     # substitution head-starts there (exact)
-    if slabs.pfac is not None:
-        from fast_solver_lippmann_schwinger_tpu.sparse import pallas_thomas as pt
-
-        u = pt.solve_all(
-            slabs.pfac, jnp.arange(slabs.n_subs), rhs, start=slabs.trace_head
-        )
-    else:
-        u = jax.vmap(
-            lambda f, r: block_thomas_solve_support(f, r, start=slabs.trace_head)
-        )(slabs.fac, rhs)
+    u = _solve_batched(slabs, rhs, start=slabs.trace_head)
     idx = jnp.arange(slabs.n_subs)
     return (u[idx, slabs.l0], u[idx, slabs.l1], u[idx, slabs.ln], u[idx, slabs.lnp])
 
@@ -134,9 +140,7 @@ def _block_apply_single(slabs, idx, v0, v1, vN, vNp, l0, l1, ln, lnp,
     rhs = rhs.at[l0].set(jnp.where(has_top, band_matvec(cpl_01, v1), zero))
     rhs = rhs.at[lnp].set(jnp.where(has_bot, band_matvec(cpl_np_n, vN), zero))
     rhs = rhs.at[ln].set(jnp.where(has_bot, -band_matvec(cpl_n_np, vNp), zero))
-    if slabs.pfac is not None:
-        from fast_solver_lippmann_schwinger_tpu.sparse import pallas_thomas as pt
-
+    if _pallas_only(slabs):
         u = pt.solve_support(slabs.pfac, idx, rhs, start=start, tail=tail)
     else:
         u = block_thomas_solve_support(

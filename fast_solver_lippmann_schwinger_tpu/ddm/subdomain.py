@@ -168,6 +168,11 @@ def build_slab_system(
     ``Msp[1:2n,1:2n]`` overwrite at ``src/subdomains.jl:79-86``), ``nu`` is
     the (m, n) medium.
     """
+    if npml < 5:
+        # absorbing_nu indexes y1[ndelta - 3] / y1[m1 - ndelta + 1]; below 5
+        # the cutoff knots mis-order and the spline clamp silently produces a
+        # useless (blowing-up) absorbing profile
+        raise ValueError(f"npml must be >= 5 for ordered cutoff knots, got {npml}")
     m, n = a_st.m, a_st.n
     dtype = a_st.values.dtype
     nu = np.asarray(nu).reshape(m, n)

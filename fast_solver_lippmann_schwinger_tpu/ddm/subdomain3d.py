@@ -119,6 +119,9 @@ def build_slab_system_3d(
     ag_host: np.ndarray | None = None,
 ) -> SlabSystem3D:
     """Construct and factor all z-slabs (3D analog of ``build_slab_system``)."""
+    if npml < 5:
+        # see build_slab_system: the cutoff knots need >= 5 absorbing planes
+        raise ValueError(f"npml must be >= 5 for ordered cutoff knots, got {npml}")
     l, m, n = a_st.l, a_st.m, a_st.n
     dtype = a_st.values.dtype
     nu = np.asarray(nu).reshape(l, m, n)

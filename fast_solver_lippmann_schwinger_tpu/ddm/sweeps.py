@@ -24,6 +24,7 @@ from fast_solver_lippmann_schwinger_tpu.ddm.subdomain import (
     gather_interior,
     partition_source,
 )
+from fast_solver_lippmann_schwinger_tpu.sparse import pallas_thomas as pt
 from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
     band_matvec,
     block_thomas_solve,
@@ -81,10 +82,6 @@ def gs_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
         # differs only at the bottom trace lines) can resume instead of
         # redoing the full forward substitution
         if slabs.pfac is not None:
-            from fast_solver_lippmann_schwinger_tpu.sparse import (
-                pallas_thomas as pt,
-            )
-
             v, y_c, t_c = pt.solve_cached(
                 slabs.pfac, xs["idx"], rhs, slabs.trace_tail
             )
@@ -117,10 +114,6 @@ def gs_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
         # cached forward pass there (bit-identical, ~m1/trace_tail x fewer
         # forward pivot applications)
         if slabs.pfac is not None:
-            from fast_solver_lippmann_schwinger_tpu.sparse import (
-                pallas_thomas as pt,
-            )
-
             u = pt.solve_resume(
                 slabs.pfac, xs["idx"], rhs, xs["y_c"], xs["t_c"],
                 slabs.trace_tail,
@@ -156,10 +149,6 @@ def jacobi_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
     idx = jnp.arange(slabs.n_subs)
 
     if slabs.pfac is not None:
-        from fast_solver_lippmann_schwinger_tpu.sparse import (
-            pallas_thomas as pt,
-        )
-
         def _solve_all(rhs_all):
             return jax.lax.map(
                 lambda si: pt.solve(slabs.pfac, si[0], si[1]),

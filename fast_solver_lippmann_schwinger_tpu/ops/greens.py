@@ -135,7 +135,8 @@ def good_fft_size(minimum: int, multiple_of: int = 1,
 
 def trapezoidal_kernel_2d(n: int, m: int, h: float, k: float,
                           d0: complex | None = None,
-                          ne: int | None = None, me: int | None = None):
+                          ne: int | None = None, me: int | None = None,
+                          prefer_pow2: bool | None = None):
     """Circulant-embedded Duan-Rokhlin kernel table, in Fourier space.
 
     Builds the displacement table ``K[dy, dx] = (i/4) h^2 H0^(1)(k r)`` for
@@ -153,8 +154,8 @@ def trapezoidal_kernel_2d(n: int, m: int, h: float, k: float,
     """
     if d0 is None:
         d0 = duan_rokhlin_d0(k * h)
-    ne = good_fft_size(2 * n - 1) if ne is None else ne
-    me = good_fft_size(2 * m - 1) if me is None else me
+    ne = good_fft_size(2 * n - 1, prefer_pow2=prefer_pow2) if ne is None else ne
+    me = good_fft_size(2 * m - 1, prefer_pow2=prefer_pow2) if me is None else me
     if ne < 2 * n - 1 or me < 2 * m - 1:
         raise ValueError(
             f"circulant embedding needs ne >= {2 * n - 1}, me >= {2 * m - 1}; "
@@ -243,7 +244,8 @@ def gv_symbol_2d(n: int, m: int, h: float, k: float,
 
 def gv_compact_kernel_2d(n: int, m: int, h: float, k: float,
                          ne: int | None = None, me: int | None = None,
-                         truncation_factor: float = 1.5):
+                         truncation_factor: float = 1.5,
+                         prefer_pow2: bool | None = None):
     """Greengard-Vico quadrature on a compact (~2n) extended grid.
 
     The GV spectral apply on the 4n grid (``gv_symbol_2d``) realizes a
@@ -265,8 +267,8 @@ def gv_compact_kernel_2d(n: int, m: int, h: float, k: float,
     dy = np.arange(-(m - 1), m) % me4
     tab = kern[np.ix_(dy, dx)]                # (2m-1, 2n-1) displacement table
 
-    ne = good_fft_size(2 * n - 1) if ne is None else ne
-    me = good_fft_size(2 * m - 1) if me is None else me
+    ne = good_fft_size(2 * n - 1, prefer_pow2=prefer_pow2) if ne is None else ne
+    me = good_fft_size(2 * m - 1, prefer_pow2=prefer_pow2) if me is None else me
     if ne < 2 * n - 1 or me < 2 * m - 1:
         raise ValueError(
             f"compact embedding needs ne >= {2 * n - 1}, me >= {2 * m - 1}; "
@@ -306,7 +308,8 @@ def gv_symbol_3d(n: int, m: int, l: int, h: float, k: float,
 def gv_compact_kernel_3d(n: int, m: int, l: int, h: float, k: float,
                          ne: int | None = None, me: int | None = None,
                          le: int | None = None,
-                         truncation_factor: float = 1.8):
+                         truncation_factor: float = 1.8,
+                         prefer_pow2: bool | None = None):
     """3D compact GV embedding (see :func:`gv_compact_kernel_2d`): the
     support radius 1.8 n h covers sqrt(3) (n-1) h, so the (2n-1)^3 tap table
     is complete and the extended grid shrinks from (4n)^3 to ~(2n)^3.
@@ -322,9 +325,9 @@ def gv_compact_kernel_3d(n: int, m: int, l: int, h: float, k: float,
     dz = np.arange(-(l - 1), l) % le4
     tab = kern[np.ix_(dz, dy, dx)]
 
-    ne = good_fft_size(2 * n - 1) if ne is None else ne
-    me = good_fft_size(2 * m - 1) if me is None else me
-    le = good_fft_size(2 * l - 1) if le is None else le
+    ne = good_fft_size(2 * n - 1, prefer_pow2=prefer_pow2) if ne is None else ne
+    me = good_fft_size(2 * m - 1, prefer_pow2=prefer_pow2) if me is None else me
+    le = good_fft_size(2 * l - 1, prefer_pow2=prefer_pow2) if le is None else le
     if ne < 2 * n - 1 or me < 2 * m - 1 or le < 2 * l - 1:
         raise ValueError(
             f"compact embedding needs (ne, me, le) >= "

@@ -68,7 +68,9 @@ def test_gs_sweep_preconditions_sparsified_system(plasma_problem):
         np.asarray(b)
     )
     assert res < 1e-6
-    assert iters <= 40, f"GS sweep too weak: {iters} iterations"
+    # regression pin: measured 8 iterations on this config (complex128 CPU);
+    # a preconditioner-quality regression must fail here, not drift silently
+    assert iters <= 8, f"GS sweep regressed: {iters} iterations (pinned at 8)"
 
 
 def test_double_sweep_preconditions_full_system(plasma_problem):
@@ -93,8 +95,10 @@ def test_double_sweep_preconditions_full_system(plasma_problem):
         np.asarray(rhs)
     )
     assert res < 1e-6
-    # the bi-directional sweep should converge in O(10) iterations
-    assert iters <= 30, f"double sweep too weak: {iters} iterations"
+    # regression pin: measured 6 iterations on this config (complex128 CPU) —
+    # consistent with the weakly k-dependent O(1) counts of the method paper
+    # and the 8/8 measured at the reference's 801x801 config (RESULTS.md)
+    assert iters <= 6, f"double sweep regressed: {iters} iterations (pinned at 6)"
 
 
 def test_sweep_vs_direct_solve(plasma_problem):

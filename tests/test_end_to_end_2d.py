@@ -26,7 +26,8 @@ def test_preconditioned_solve_converges_fast(problem):
     u, info = bump2d.solve(problem, rtol=1e-8)
     assert bool(info.converged)
     iters = int(info.n_iterations)
-    assert iters <= 25, f"sparsifying preconditioner too weak: {iters} iters"
+    # regression pin: measured 4 iterations (complex128 CPU)
+    assert iters <= 4, f"sparsifying precond regressed: {iters} iters (pinned at 4)"
     # verify the residual directly
     res = np.linalg.norm(
         np.asarray(problem.op.apply(u) - problem.rhs)

@@ -91,7 +91,8 @@ def test_inner_trace_system_converges(setup):
         rtol=1e-8, restart=20, maxiter=120,
     )
     assert bool(info.converged)
-    assert int(info.n_iterations) <= 60
+    # regression pin: measured 4 iterations (complex128 CPU)
+    assert int(info.n_iterations) <= 4
 
 
 def test_polarized_preconditioner_full_system(setup):
@@ -115,4 +116,6 @@ def test_polarized_preconditioner_full_system(setup):
     # nonlinear — re-applying it to the final residual is noisy; the
     # converged flag + true-residual + iteration-count checks above are the
     # stable oracles (matching how the reference drivers judge convergence)
-    assert iters <= 30, f"polarized-traces preconditioner too weak: {iters}"
+    # regression pin: measured 6 iterations (complex128 CPU) — matches the 6
+    # outer iterations recorded at the reference's 401x401 config (RESULTS.md)
+    assert iters <= 6, f"polarized-traces regressed: {iters} iters (pinned at 6)"

@@ -174,3 +174,28 @@ def test_eval_generalized_moments_matches_plain_rule():
     # plain block: Legendre orthogonality -> first moment 2, rest ~0
     np.testing.assert_allclose(mom[0], 2.0, atol=1e-12)
     np.testing.assert_allclose(mom[1:m], 0.0, atol=1e-12)
+
+
+def test_npml_below_five_rejected(small_ddm):
+    """The absorbing-profile knots need >= 5 layers; below that the slab
+    builder must fail loudly instead of producing a silently broken cutoff."""
+    grid, k, nu, a_st, ag_st, msp, slabs = small_ddm
+    with pytest.raises(ValueError, match="npml"):
+        build_slab_system(
+            a_st, ag_st, nu, grid.x, grid.y, grid.h, k, 3, npml=4
+        )
+
+
+def test_prefer_pow2_is_an_explicit_knob():
+    """FFT size class must be pinnable independently of the current backend
+    (artifacts built on CPU for a TPU run must be able to pick pow2)."""
+    from fast_solver_lippmann_schwinger_tpu.ops import greens
+
+    assert greens.good_fft_size(1601, prefer_pow2=True) == 2048
+    s5 = greens.good_fft_size(1601, prefer_pow2=False)
+    assert s5 >= 1601
+    x = s5
+    for p in (2, 3, 5):
+        while x % p == 0:
+            x //= p
+    assert x == 1, f"{s5} is not 5-smooth"
