@@ -162,19 +162,25 @@ def sharded_gs_sweep(slabs: SlabSystem, b: jnp.ndarray, mesh: Mesh,
 
 def sharded_gs_sweep_pipelined(slabs: SlabSystem, b_batch: jnp.ndarray,
                                mesh: Mesh, axis: str = "slab") -> jnp.ndarray:
-    """Wavefront-pipelined multi-RHS sweep: device d processes RHS r at
-    stage r + d, so with n_rhs >= n_devices the sequential slab chain runs
-    at full machine utilization (the scaling answer to the inherently
-    serial sweep — SURVEY.md section 2.4 "pipeline them").
+    """Wavefront-pipelined multi-RHS sweep over a general slab layout: k
+    slabs per device (S = k * D), any RHS batch size R (including R < D).
 
-    One slab per device.  ``b_batch`` is (R, m*n) replicated; returns the
-    (R, m*n) batch of sweep results, numerically identical to vmapping
-    ``gs_sweep`` over the batch.  Interface traces move to the neighbor via
-    ``ppermute`` each stage, overlapping with the next stage's local solve.
+    Schedule (GPipe-style block pipeline over the sequential slab chain,
+    ``src/preconditioner.jl:576-627``): in round t, device d sweeps its k
+    local slabs SEQUENTIALLY for RHS ``r = t - d`` (masked outside [0, R)),
+    then hands the outgoing interface traces to device d+1 via ``ppermute``.
+    Total 2 (D + R - 1) rounds of k local solves each; pipeline-fill
+    efficiency R / (D + R - 1) — full machine utilization as R grows, vs the
+    D-fold redundant compute of the masked ``sharded_gs_sweep``.
+
+    ``b_batch`` is (R, m*n) replicated; returns the (R, m*n) batch of sweep
+    results, numerically identical to vmapping ``gs_sweep`` over the batch
+    (tested on the forced-host-device CPU mesh).
     """
     S = slabs.n_subs
     D = mesh.shape[axis]
-    assert S == D, "pipelined sweep runs one slab per device"
+    assert S % D == 0, f"{S} slabs must divide over {D} devices"
+    k = S // D
     R = b_batch.shape[0]
     n = slabs.n
     dtype = slabs.h_stencils.dtype
@@ -182,11 +188,11 @@ def sharded_gs_sweep_pipelined(slabs: SlabSystem, b_batch: jnp.ndarray,
 
     def fn(slab_shard, b_rep):
         me = jax.lax.axis_index(axis)
-        sl = _local_slab(slab_shard, 0)
         bg = b_rep.reshape(R, slabs.m, slabs.n)
-        # (R, m1_max, n) local sources for my slab
+        # (R, k, m1_max, n) local sources for my k slabs
         rhs_all = jnp.where(
-            sl.src_valid[None, :, None], bg[:, sl.src_line], 0.0
+            slab_shard.src_valid[None, :, :, None],
+            bg[:, slab_shard.src_line], 0.0,
         ).astype(dtype)
 
         zeros_n = jnp.zeros((n,), dtype)
@@ -194,60 +200,107 @@ def sharded_gs_sweep_pipelined(slabs: SlabSystem, b_batch: jnp.ndarray,
         fwd = [(i, (i + 1) % D) for i in range(D)]
         bwd = [(i, (i - 1) % D) for i in range(D)]
 
+        # per-local-slab scan inputs (the factorization stacks are indexed
+        # inside the bodies by ``li`` instead of riding scan xs — scans may
+        # materialize copies of their inputs and the pivot stacks are
+        # multi-GB at production sizes)
+        slab_xs = dict(
+            li=jnp.arange(k),
+            l0=slab_shard.l0, l1=slab_shard.l1,
+            ln=slab_shard.ln, lnp=slab_shard.lnp,
+            has_top=slab_shard.has_top, has_bot=slab_shard.has_bot,
+            cpl_01=slab_shard.cpl_01, cpl_10=slab_shard.cpl_10,
+            cpl_n_np=slab_shard.cpl_n_np, cpl_np_n=slab_shard.cpl_np_n,
+        )
+
         # ---- down wavefront ----
-        recv = zeros2          # traces from the left neighbor, for my r = t - me
-        u_np_all = jnp.zeros((R, n), dtype)
-        y_all = jnp.zeros((R, slabs.m1_max, n), dtype)
-        t_all = jnp.zeros((R, slabs.m1_max, n), dtype)
-        for t in range(S + R - 1):
+        u_np_all = jnp.zeros((R, k, n), dtype)
+        y_all = jnp.zeros((R, k, slabs.m1_max, n), dtype)
+        t_all = jnp.zeros((R, k, slabs.m1_max, n), dtype)
+
+        def down_li(carry2, xs):
+            u_n_prev, u_np_prev = carry2
+            rhs = xs["rhs"]
+            add0 = band_matvec(xs["cpl_01"], u_np_prev)
+            add1 = -band_matvec(xs["cpl_10"], u_n_prev)
+            rhs = rhs.at[xs["l0"]].add(jnp.where(xs["has_top"], add0, zeros_n))
+            rhs = rhs.at[xs["l1"]].add(jnp.where(xs["has_top"], add1, zeros_n))
+            v, y_c, t_c = block_thomas_solve_cached(
+                _local_slab(slab_shard.fac, xs["li"]), rhs, slabs.trace_tail
+            )
+            return (v[xs["ln"]], v[xs["lnp"]]), (rhs, v[xs["lnp"]], y_c, t_c)
+
+        def down_round(carry, t):
+            recv, rhs_all, u_np_all, y_all, t_all = carry
             r = t - me
             valid = (r >= 0) & (r < R)
             rc = jnp.clip(r, 0, R - 1)
-            rhs = rhs_all[rc]
-            add0 = band_matvec(sl.cpl_01, recv[1])
-            add1 = -band_matvec(sl.cpl_10, recv[0])
-            rhs = rhs.at[sl.l0].add(jnp.where(sl.has_top, add0, zeros_n))
-            rhs = rhs.at[sl.l1].add(jnp.where(sl.has_top, add1, zeros_n))
-            v, y_c, t_c = block_thomas_solve_cached(
-                sl.fac, rhs, slabs.trace_tail
+            (u_n, u_np), (rhs_k, unp_k, y_k, t_k) = jax.lax.scan(
+                down_li, (recv[0], recv[1]), dict(slab_xs, rhs=rhs_all[rc])
             )
-            rhs_all = rhs_all.at[rc].set(jnp.where(valid, rhs, rhs_all[rc]))
-            u_np_all = u_np_all.at[rc].set(
-                jnp.where(valid, v[sl.lnp], u_np_all[rc])
+            upd = lambda buf, new: buf.at[rc].set(
+                jnp.where(valid, new, buf[rc])
             )
-            y_all = y_all.at[rc].set(jnp.where(valid, y_c, y_all[rc]))
-            t_all = t_all.at[rc].set(jnp.where(valid, t_c, t_all[rc]))
-            out = jnp.where(valid, jnp.stack([v[sl.ln], v[sl.lnp]]), zeros2)
+            rhs_all = upd(rhs_all, rhs_k)
+            u_np_all = upd(u_np_all, unp_k)
+            y_all = upd(y_all, y_k)
+            t_all = upd(t_all, t_k)
+            out = jnp.where(valid, jnp.stack([u_n, u_np]), zeros2)
             recv = jax.lax.ppermute(out, axis, fwd)
+            return (recv, rhs_all, u_np_all, y_all, t_all), None
+
+        (_, rhs_all, u_np_all, y_all, t_all), _ = jax.lax.scan(
+            down_round, (zeros2, rhs_all, u_np_all, y_all, t_all),
+            jnp.arange(D + R - 1),
+        )
 
         # ---- up wavefront ----
-        recv = zeros2          # raw (u_0, u_1) traces from the slab below
-        out_local = jnp.zeros((R, slabs.m1_max, n), dtype)
-        for t in range(S + R - 1):
-            r = t - (S - 1 - me)
+        def up_li(carry2, xs):
+            u_0_next, u_1_next = carry2
+            rhs = xs["rhs"]
+            # reflection: the incoming raw u_1 is corrected with the
+            # RECEIVING slab's down-sweep u_np (``u_1 - u_np_above``,
+            # src/preconditioner.jl:622)
+            u1_corr = u_1_next - xs["u_np"]
+            addnp = band_matvec(xs["cpl_np_n"], u_0_next)
+            addn = -band_matvec(xs["cpl_n_np"], u1_corr)
+            rhs = rhs.at[xs["lnp"]].add(jnp.where(xs["has_bot"], addnp, zeros_n))
+            rhs = rhs.at[xs["ln"]].add(jnp.where(xs["has_bot"], addn, zeros_n))
+            u = block_thomas_solve_resume(
+                _local_slab(slab_shard.fac, xs["li"]), rhs,
+                xs["y_c"], xs["t_c"], slabs.trace_tail,
+            )
+            return (u[xs["l0"]], u[xs["l1"]]), u
+
+        def up_round(carry, t):
+            recv, out_local = carry
+            r = t - (D - 1 - me)
             valid = (r >= 0) & (r < R)
             rc = jnp.clip(r, 0, R - 1)
-            rhs = rhs_all[rc]
-            # reflection: the sender's raw u_1 is corrected with MY
-            # down-sweep u_np for this rhs (the ``u_1 - u_np_above`` of the
-            # single-device sweep, src/preconditioner.jl:622)
-            u1_corr = recv[1] - u_np_all[rc]
-            addnp = band_matvec(sl.cpl_np_n, recv[0])
-            addn = -band_matvec(sl.cpl_n_np, u1_corr)
-            rhs = rhs.at[sl.lnp].add(jnp.where(sl.has_bot, addnp, zeros_n))
-            rhs = rhs.at[sl.ln].add(jnp.where(sl.has_bot, addn, zeros_n))
-            u = block_thomas_solve_resume(
-                sl.fac, rhs, y_all[rc], t_all[rc], slabs.trace_tail
+            (u_0, u_1), u_k = jax.lax.scan(
+                up_li, (recv[0], recv[1]),
+                dict(slab_xs, rhs=rhs_all[rc], u_np=u_np_all[rc],
+                     y_c=y_all[rc], t_c=t_all[rc]),
+                reverse=True,
             )
             out_local = out_local.at[rc].set(
-                jnp.where(valid, u, out_local[rc])
+                jnp.where(valid, u_k, out_local[rc])
             )
-            out = jnp.where(valid, jnp.stack([u[sl.l0], u[sl.l1]]), zeros2)
+            out = jnp.where(valid, jnp.stack([u_0, u_1]), zeros2)
             recv = jax.lax.ppermute(out, axis, bwd)
+            return (recv, out_local), None
 
-        own = slab_shard.owner
-        mine_lines = own == me
-        vals = out_local[:, slab_shard.owner_line]    # (R, m, n) via gather
+        out_local0 = jnp.zeros((R, k, slabs.m1_max, n), dtype)
+        (_, out_local), _ = jax.lax.scan(
+            up_round, (zeros2, out_local0), jnp.arange(D + R - 1)
+        )
+
+        # ---- reconstruction: each device contributes its interior lines ----
+        base = me * k
+        own = slab_shard.owner             # replicated (m,)
+        mine_lines = (own >= base) & (own < base + k)
+        vals = out_local[:, jnp.clip(own - base, 0, k - 1),
+                         slab_shard.owner_line]          # (R, m, n)
         contrib = jnp.where(mine_lines[None, :, None], vals, 0.0)
         return jax.lax.psum(contrib, axis).reshape(R, -1)
 

@@ -1,5 +1,6 @@
 """Wavefront-pipelined multi-RHS sharded sweep must reproduce the
-single-device sweep per RHS."""
+single-device sweep per RHS — including k > 1 slabs per device and
+R < n_devices (the general layouts, not just one-slab-per-device)."""
 
 import jax
 import jax.numpy as jnp
@@ -18,10 +19,8 @@ from fast_solver_lippmann_schwinger_tpu.parallel.sharded import (
 from fast_solver_lippmann_schwinger_tpu.sparse import stencils
 
 
-def test_pipelined_sweep_matches_single_device():
-    n_dev = min(4, len(jax.devices()))
-    if n_dev < 2:
-        pytest.skip("needs >= 2 devices")
+@pytest.fixture(scope="module")
+def slabs4():
     grid = Grid2D(a=1.0, h=1.0 / 36.0)
     k = 1.0 / grid.h
     X, Y = grid.mesh()
@@ -30,18 +29,33 @@ def test_pipelined_sweep_matches_single_device():
         k, grid.x, grid.y, grid.h, dtype=jnp.complex128
     )
     slabs = build_slab_system(
-        a_st, ag_st, nu, grid.x, grid.y, grid.h, k, n_dev, npml=6
+        a_st, ag_st, nu, grid.x, grid.y, grid.h, k, 4, npml=6
     )
+    return grid, slabs
+
+
+@pytest.mark.parametrize(
+    "n_dev,n_rhs",
+    [
+        (4, 3),   # one slab per device, R < D
+        (2, 3),   # k = 2 slabs per device
+        (2, 1),   # k = 2, single RHS (degenerate pipeline)
+        (4, 6),   # R > D (pipeline fills)
+    ],
+)
+def test_pipelined_sweep_matches_single_device(slabs4, n_dev, n_rhs):
+    if len(jax.devices()) < n_dev:
+        pytest.skip(f"needs >= {n_dev} devices")
+    grid, slabs = slabs4
     mesh = Mesh(np.array(jax.devices()[:n_dev]), ("slab",))
     slabs_sharded = shard_slab_system(slabs, mesh)
 
-    rng = np.random.default_rng(0)
-    R = 3
+    rng = np.random.default_rng(n_dev * 10 + n_rhs)
     B = jnp.asarray(
-        rng.standard_normal((R, grid.size))
-        + 1j * rng.standard_normal((R, grid.size))
+        rng.standard_normal((n_rhs, grid.size))
+        + 1j * rng.standard_normal((n_rhs, grid.size))
     )
     got = np.asarray(sharded_gs_sweep_pipelined(slabs_sharded, B, mesh))
-    for r in range(R):
+    for r in range(n_rhs):
         ref = np.asarray(gs_sweep(slabs, B[r]))
         np.testing.assert_allclose(got[r], ref, rtol=1e-10, atol=1e-12)
