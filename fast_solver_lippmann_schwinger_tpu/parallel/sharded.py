@@ -330,3 +330,33 @@ def make_sharded_double_sweep(slabs, slabs_t, msp, a_s, mesh, axis="slab"):
         return u - u2
 
     return apply_
+
+
+def make_sharded_double_sweep_pipelined(slabs, slabs_t, msp, a_s, mesh,
+                                        axis="slab"):
+    """Batched alternating bi-directional preconditioner on the pipelined
+    wavefront sweeps: maps an (R, m*n) batch of right-hand sides through
+    ``u - T' GS_x(T (Msp u - As b))`` with both sweeps pipeline-filled by
+    the batch (``doublePreconditioner`` semantics,
+    ``src/preconditioner.jl:121-130,228-249``, distributed).
+
+    Feed to :func:`solver.gmres.gmres_batched` as the preconditioner for a
+    multi-direction outer solve — the production multi-chip path (the masked
+    ``sharded_gs_sweep`` executes every stage on every device and is kept
+    for the single-RHS case only).
+    """
+    def transpose_flat(v):
+        return (
+            v.reshape(-1, msp.m, msp.n).transpose(0, 2, 1).reshape(v.shape[0], -1)
+        )
+
+    def apply_(b_batch):
+        asb = a_s.matvec(b_batch.T).T        # stencil matvec: trailing RHS cols
+        u = sharded_gs_sweep_pipelined(slabs, asb, mesh, axis)
+        err = msp.matvec(u.T).T - asb
+        u2 = transpose_flat(
+            sharded_gs_sweep_pipelined(slabs_t, transpose_flat(err), mesh, axis)
+        )
+        return u - u2
+
+    return apply_

@@ -173,3 +173,157 @@ def gmres(
     )
     n_iters = jnp.sum(residuals[1:] > 0)
     return x, GMRESInfo(residuals=residuals, n_iterations=n_iters, converged=done)
+
+
+def gmres_batched(
+    matvec: Callable[[jnp.ndarray], jnp.ndarray],
+    B: jnp.ndarray,
+    preconditioner: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    x0: Optional[jnp.ndarray] = None,
+    rtol: float = 1e-8,
+    atol: float = 0.0,
+    restart: int = 20,
+    maxiter: int = 200,
+):
+    """Batched restarted GMRES: solve ``A x_r = b_r`` for all rows of ``B``
+    (R, N) in ONE Krylov loop whose operator and preconditioner are applied
+    to the WHOLE (R, N) batch at once.
+
+    This is NOT ``vmap(gmres)``: the joint application is the point — the
+    preconditioner can be a batch-level program such as the
+    wavefront-pipelined sharded sweep (``parallel/sharded.py``), which needs
+    all R right-hand sides simultaneously to fill its pipeline.  The
+    reference solves its two incident directions serially
+    (``tests/plasma_example.jl:160,172``); batching the outer Krylov over
+    directions is the TPU-idiomatic replacement.
+
+    Per-RHS Arnoldi/Givens state is carried with a trailing batch axis;
+    converged systems freeze (masked updates) while the batch keeps
+    iterating until ALL converge or the budget runs out.  Returns
+    ``(X, GMRESInfo)`` with leading batch axes (residuals (R, hist)).
+    """
+    M = preconditioner if preconditioner is not None else _identity
+    R, n = B.shape
+    restart = min(restart, n)
+    dtype = B.dtype
+    rdtype = jnp.real(B).dtype
+
+    def norms(W):
+        return jnp.sqrt(jnp.sum(jnp.abs(W) ** 2, axis=-1)).astype(rdtype)
+
+    def vdots(Vi, W):
+        return jnp.sum(jnp.conj(Vi) * W, axis=-1)
+
+    x0 = jnp.zeros_like(B) if x0 is None else x0
+    tol = jnp.maximum(rtol * norms(M(B)), atol)           # (R,)
+    n_cycles = -(-maxiter // restart)
+
+    def arnoldi_step(carry, _):
+        V, Rm, g, cs, sn, jcount, resnorm, active = carry
+        # V: (restart+1, R, N); Rm: (restart+1, restart+1, R);
+        # g: (restart+1, R); cs/sn: (restart, R); jcount/resnorm/active: (R,)
+        j = jnp.max(jnp.where(active, jcount, 0))
+        w = M(matvec(V[j]))                               # joint batch apply
+
+        def mgs(i, wh):
+            w, h = wh
+            hi = vdots(V[i], w)
+            return (w - hi[:, None] * V[i], h.at[i].set(hi))
+
+        h0 = jnp.zeros((restart + 1, R), dtype=dtype)
+        w, h = lax.fori_loop(0, restart + 1, mgs, (w, h0))
+        hj1 = norms(w)
+        vnew = jnp.where(
+            (hj1 > 0)[:, None], w / jnp.maximum(hj1, 1e-300)[:, None], w
+        ).astype(dtype)
+        V = V.at[j + 1].set(jnp.where(active[:, None], vnew, V[j + 1]))
+        h = h.at[j + 1].set(hj1.astype(dtype))
+
+        def rot(i, h):
+            t = cs[i] * h[i] + sn[i] * h[i + 1]
+            h = h.at[i + 1].set(-jnp.conj(sn[i]) * h[i] + cs[i] * h[i + 1])
+            return h.at[i].set(t)
+
+        h = lax.fori_loop(0, j, rot, h)
+
+        a, bb = h[j], h[j + 1]                            # (R,)
+        denom = jnp.sqrt(jnp.abs(a) ** 2 + jnp.abs(bb) ** 2)
+        safe = denom > 0
+        c_new = jnp.where(safe, jnp.abs(a) / jnp.maximum(denom, 1e-300), 1.0)
+        phase = jnp.where(
+            jnp.abs(a) > 0, a / jnp.maximum(jnp.abs(a), 1e-300), 1.0
+        ).astype(dtype)
+        s_new = jnp.where(
+            safe, phase * jnp.conj(bb) / jnp.maximum(denom, 1e-300), 0.0
+        ).astype(dtype)
+
+        h = h.at[j].set(c_new * a + s_new * bb)
+        h = h.at[j + 1].set(0.0)
+        upd = lambda old, new: jnp.where(active, new, old)
+        cs2 = cs.at[j].set(upd(cs[j], c_new.astype(dtype)))
+        sn2 = sn.at[j].set(upd(sn[j], s_new))
+        g2 = g.at[j + 1].set(upd(g[j + 1], -jnp.conj(s_new) * g[j]))
+        g2 = g2.at[j].set(upd(g[j], c_new * g[j]))
+        Rm2 = Rm.at[:, j].set(jnp.where(active[None, :], h, Rm[:, j]))
+        res_new = jnp.where(active, jnp.abs(g2[j + 1]).astype(rdtype), resnorm)
+        jcount2 = jnp.where(active, jcount + 1, jcount)
+        rec = jnp.where(active, res_new, jnp.zeros((), rdtype))
+        new_active = active & (res_new > tol)
+        return (V, Rm2, g2, cs2, sn2, jcount2, res_new, new_active), rec
+
+    def cycle(carry, cycle_idx):
+        x, total_res, done = carry
+        r = M(B - matvec(x))
+        beta = norms(r)                                   # (R,)
+        V = jnp.zeros((restart + 1, R, n), dtype=dtype)
+        V = V.at[0].set(
+            jnp.where((beta > 0)[:, None],
+                      r / jnp.maximum(beta, 1e-300)[:, None], r).astype(dtype)
+        )
+        Rm = jnp.zeros((restart + 1, restart + 1, R), dtype=dtype)
+        g = jnp.zeros((restart + 1, R), dtype=dtype)
+        g = g.at[0].set(beta.astype(dtype))
+        cs = jnp.zeros((restart, R), dtype=dtype)
+        sn = jnp.zeros((restart, R), dtype=dtype)
+        jcount = jnp.zeros((R,), jnp.int32)
+        active0 = (~done) & (beta > tol)
+
+        init = (V, Rm, g, cs, sn, jcount, beta, active0)
+        (V, Rm, g, cs, sn, jcount, resnorm, _), recs = lax.scan(
+            arnoldi_step, init, None, length=restart
+        )   # recs: (restart, R)
+
+        # per-RHS masked triangular solve Rm y = g
+        filled = jnp.arange(restart)[:, None] < jcount[None, :]  # (restart, R)
+
+        def solve_one(Rsq_r, g_r, filled_r):
+            Rsq_r = jnp.where(
+                jnp.eye(restart, dtype=bool) & ~filled_r[None, :],
+                jnp.ones((), dtype),
+                jnp.where(filled_r[None, :], Rsq_r, 0.0),
+            )
+            gv = jnp.where(filled_r, g_r, 0.0)
+            return jax.scipy.linalg.solve_triangular(Rsq_r, gv, lower=False)
+
+        y = jax.vmap(solve_one)(
+            jnp.moveaxis(Rm[:restart, :restart], -1, 0),
+            jnp.moveaxis(g[:restart], -1, 0),
+            jnp.moveaxis(filled, -1, 0),
+        )                                                 # (R, restart)
+        x2 = x + jnp.einsum("jrn,rj->rn", V[:restart], y.astype(dtype))
+        x = jnp.where(done[:, None], x, x2)
+        total_res = lax.dynamic_update_slice(
+            total_res, jnp.moveaxis(recs, 0, 1), (0, 1 + cycle_idx * restart)
+        )
+        done = done | (resnorm <= tol)
+        return (x, total_res, done), None
+
+    residuals0 = jnp.zeros((R, 1 + n_cycles * restart), rdtype)
+    beta0 = norms(M(B - matvec(x0)))
+    residuals0 = residuals0.at[:, 0].set(beta0)
+
+    (x, residuals, done), _ = lax.scan(
+        cycle, (x0, residuals0, beta0 <= tol), jnp.arange(n_cycles)
+    )
+    n_iters = jnp.sum(residuals[:, 1:] > 0, axis=1)
+    return x, GMRESInfo(residuals=residuals, n_iterations=n_iters, converged=done)
