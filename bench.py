@@ -1,14 +1,24 @@
 """Benchmark driver: prints ONE JSON line for the round harness.
 
-Headline metric: operator-apply throughput (grid-points/s) of the 2D plasma
-configuration's hot loop — the FFT fast convolution
-``u + k^2 G conv (nu u)`` at 801x801 (the reference's
-``tests/plasma_example.jl`` grid, its per-GMRES-iteration kernel).
+Headline metric: END-TO-END solve throughput of the reference's headline
+benchmark — the full 801x801, k=800 plasma scattering solve with the
+alternating bi-directional (double) sweep preconditioner
+(``tests/plasma_example.jl:160-182``: the solve wall-clock + iteration
+count IS the reference's measured quantity).  The solve runs on the
+fused-Pallas sweep path (``pivot_dtype="pallas"``) with a fixed GMRES
+budget (restart=20, maxiter=12, rtol=1e-6 — the config converges in ~6
+iterations; see RESULTS.md) and is chain-timed on device: data-dependent
+``lax.scan`` chains of 1 and 3 full solves, fetch-synced, per-solve time =
+(t3 - t1) / 2.  The same methodology produced the round-2 624 ms record on
+the XLA bf16 path.
 
-``vs_baseline``: ratio against the same algorithm executed on the host CPU
-(the reference targets a 16-thread CPU with FFTW; running our own CPU path
-in a subprocess is the closest apples-to-apples baseline available since the
-reference publishes no numbers — see BASELINE.md).
+Secondary (stderr): operator-apply throughput (the round-1/2 headline).
+
+``vs_baseline``: ratio against the same end-to-end solve executed by this
+framework on the host CPU (the reference targets a 16-thread CPU with
+FFTW + PARDISO and publishes no numbers — BASELINE.md).  The CPU number
+costs ~10+ minutes to measure, so it is cached in
+``BENCH_CPU_BASELINE.json`` (refresh with ``python bench.py --cpu-e2e``).
 """
 
 import json
@@ -17,15 +27,16 @@ import subprocess
 import sys
 import time
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_CPU_CACHE = os.path.join(_REPO, "BENCH_CPU_BASELINE.json")
 
-def measure_apply(h=1.0 / 800.0, dtype_name="complex64", iters=20,
-                  platform=None, ne=None, compact_ne=None):
+
+def _setup_jax(platform=None):
     import jax
 
     try:
         jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+            "jax_compilation_cache_dir", os.path.join(_REPO, ".jax_cache")
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # noqa: BLE001
@@ -34,6 +45,12 @@ def measure_apply(h=1.0 / 800.0, dtype_name="complex64", iters=20,
         # env vars alone don't survive the container's sitecustomize, which
         # force-registers the TPU plugin; the config update out-ranks it
         jax.config.update("jax_platforms", platform)
+    return jax
+
+
+def measure_apply(h=1.0 / 800.0, dtype_name="complex64", iters=20,
+                  platform=None, ne=None, compact_ne=None):
+    jax = _setup_jax(platform)
     import jax.numpy as jnp
     import numpy as np
 
@@ -122,52 +139,195 @@ def measure_apply(h=1.0 / 800.0, dtype_name="complex64", iters=20,
     return grid.size / dt, dt, grid.size
 
 
+def measure_e2e(h=1.0 / 800.0, subs=16, platform=None, pivot="pallas",
+                restart=20, maxiter=12, rtol=1e-6, repeats=3):
+    """Chain-timed full plasma solve; returns (seconds_per_solve, n_points).
+
+    Methodology identical to the round-2 record (benchmarks/tpu_e2e.py
+    ``--chain``): each chain step runs one COMPLETE preconditioned GMRES
+    solve whose rhs depends on the previous step's solution (no cross-step
+    caching possible), synced by a single (8,) float32 fetch.
+    """
+    jax = _setup_jax(platform)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fast_solver_lippmann_schwinger_tpu.models import plasma2d
+    from fast_solver_lippmann_schwinger_tpu.solver.gmres import gmres
+    from fast_solver_lippmann_schwinger_tpu.utils.host import to_device_complex
+
+    t0 = time.time()
+    problem = plasma2d.build_problem(
+        h=h, n_subdomains=subs, npml=10, dtype=jnp.complex64,
+        double_sweep=True, pivot_dtype=pivot,
+    )
+    print(f"[bench] e2e setup ({pivot} pivots) dispatched in "
+          f"{time.time()-t0:.0f}s", file=sys.stderr)
+    X, _ = problem.grid.mesh()
+    dtype = problem.op.symbol.dtype
+
+    def one_solve(op, pc, ui):
+        x, _ = gmres(op.apply, -(op.apply(ui) - ui),
+                     preconditioner=pc.apply, rtol=rtol, restart=restart,
+                     maxiter=maxiter)
+        return x
+
+    def chain(op, pc, ui, n_steps):
+        def body(c, _):
+            x = one_solve(op, pc, c)
+            # re-inject: perturb the incident field with the solution so the
+            # next solve's rhs is data-dependent on this one
+            return c + 1e-6 * x / jnp.maximum(
+                jnp.max(jnp.abs(x)), 1e-30), None
+        out, _ = jax.lax.scan(body, ui, None, length=n_steps)
+        return jnp.broadcast_to(jnp.abs(out).sum(), (8,)).astype(jnp.float32)
+
+    c1 = jax.jit(lambda op, pc, v: chain(op, pc, v, 1))
+    c3 = jax.jit(lambda op, pc, v: chain(op, pc, v, 3))
+    n_inputs = 2 + 2 * repeats
+    uis = [to_device_complex(
+        np.exp(1j * (problem.k * X.ravel() + 1e-4 * i)), dtype)
+        for i in range(n_inputs)]
+
+    def run_synced(fn, ui):
+        return float(np.asarray(fn(problem.op, problem.precond, ui))[0])
+
+    t0 = time.time()
+    run_synced(c1, uis[0])   # compile + first-fetch
+    run_synced(c3, uis[1])
+    print(f"[bench] e2e warmup/compile in {time.time()-t0:.0f}s",
+          file=sys.stderr)
+    t1s, t3s = [], []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        run_synced(c1, uis[2 + 2 * i])
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run_synced(c3, uis[3 + 2 * i])
+        t3s.append(time.perf_counter() - t0)
+    t1 = sorted(t1s)[len(t1s) // 2]
+    t3 = sorted(t3s)[len(t3s) // 2]
+    dt = max(t3 - t1, 1e-9) / 2
+    return dt, problem.grid.size
+
+
+def measure_e2e_iters(h=1.0 / 800.0, subs=16, platform=None, pivot="pallas",
+                      rtol=1e-6):
+    """One real solve per incident direction: iteration counts (the
+    reference's oracle, ``countnz(resnorm)``)."""
+    _setup_jax(platform)
+    import jax.numpy as jnp
+
+    from fast_solver_lippmann_schwinger_tpu.models import plasma2d
+    from fast_solver_lippmann_schwinger_tpu.utils.host import fetch
+
+    problem = plasma2d.build_problem(
+        h=h, n_subdomains=subs, npml=10, dtype=jnp.complex64,
+        double_sweep=True, pivot_dtype=pivot,
+    )
+    iters = []
+    for direction in [(1.0, 0.0), (0.0, 1.0)]:
+        _, info = plasma2d.solve(problem, incident_direction=direction,
+                                 rtol=rtol, restart=20, maxiter=40)
+        res = fetch(info.residuals)
+        iters.append(int((res[1:] > 0).sum()))
+    return iters
+
+
 def main():
-    ne = None
-    compact_ne = None
-    for arg in sys.argv[1:]:
-        if arg.startswith("--ne="):
-            ne = int(arg.split("=")[1])
-        if arg.startswith("--compact-ne="):
-            compact_ne = int(arg.split("=")[1])
-    if "--cpu-probe" in sys.argv:
+    args = sys.argv[1:]
+    if "--cpu-probe" in args:      # subprocess helper: CPU apply throughput
         gpps, dt, npts = measure_apply(iters=5, platform="cpu")
         print(json.dumps({"gpps": gpps}))
         return
+    if "--cpu-e2e" in args:
+        # refresh the cached CPU end-to-end baseline (same algorithm, host
+        # CPU, full-precision pivots — the CPU-optimal configuration)
+        dt, npts = measure_e2e(platform="cpu", pivot="full", repeats=1)
+        payload = {
+            "e2e_seconds_per_solve": dt,
+            "config": "801x801 k=800 plasma, 16 slabs, double sweep, "
+                      "complex64, full pivots, budget restart=20 maxiter=12",
+            "host": os.uname().nodename,
+            "measured": time.strftime("%Y-%m-%d"),
+        }
+        with open(_CPU_CACHE, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        print(json.dumps(payload))
+        return
+    if "--iters" in args:
+        print(json.dumps({"iters": measure_e2e_iters()}))
+        return
 
-    gpps, dt, npts = measure_apply(ne=ne, compact_ne=compact_ne)
-    print(
-        f"[bench] apply: {dt*1e3:.2f} ms on {npts} pts "
-        f"({gpps/1e9:.3f} G gridpoints/s)",
-        file=sys.stderr,
-    )
+    apply_gpps = None
+    try:
+        apply_gpps, dt_a, npts = measure_apply()
+        print(
+            f"[bench] apply: {dt_a*1e3:.2f} ms on {npts} pts "
+            f"({apply_gpps/1e9:.3f} G gridpoints/s)", file=sys.stderr,
+        )
+    except Exception as exc:  # noqa: BLE001
+        print(f"[bench] apply measurement failed: {exc}", file=sys.stderr)
+
+    dt = npts = None
+    pivot_used = None
+    for pivot in ("pallas", "bf16"):
+        try:
+            dt, npts = measure_e2e(pivot=pivot)
+            pivot_used = pivot
+            break
+        except Exception as exc:  # noqa: BLE001
+            print(f"[bench] e2e ({pivot}) failed: {exc}", file=sys.stderr)
+
+    if dt is None:
+        # fall back to the apply-only headline (rounds 1-2 metric)
+        vs_baseline = 1.0
+        try:
+            env = dict(os.environ)
+            env["JAX_PLATFORMS"] = "cpu"
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--cpu-probe"],
+                capture_output=True, text=True, timeout=900, env=env,
+                cwd=_REPO,
+            )
+            cpu_gpps = json.loads(out.stdout.strip().splitlines()[-1])["gpps"]
+            vs_baseline = apply_gpps / cpu_gpps
+        except Exception as exc:  # noqa: BLE001
+            print(f"[bench] cpu probe failed: {exc}", file=sys.stderr)
+        print(json.dumps({
+            "metric": "ls2d_plasma_801_operator_apply",
+            "value": round(apply_gpps / 1e6, 3),
+            "unit": "Mgridpoints/s",
+            "vs_baseline": round(vs_baseline, 3),
+        }))
+        return
+
+    solve_gpps = npts / dt
+    print(f"[bench] e2e solve ({pivot_used} pivots): {dt*1e3:.1f} ms "
+          f"({solve_gpps/1e6:.3f} Mgridpoints/s solve throughput)",
+          file=sys.stderr)
 
     vs_baseline = 1.0
     try:
-        env = dict(os.environ)
-        env["JAX_PLATFORMS"] = "cpu"
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--cpu-probe"],
-            capture_output=True, text=True, timeout=900, env=env,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        line = out.stdout.strip().splitlines()[-1]
-        cpu_gpps = json.loads(line)["gpps"]
-        print(f"[bench] cpu baseline: {cpu_gpps/1e9:.3f} G gp/s", file=sys.stderr)
-        vs_baseline = gpps / cpu_gpps
+        with open(_CPU_CACHE) as fh:
+            cpu = json.load(fh)
+        vs_baseline = cpu["e2e_seconds_per_solve"] / dt
+        print(f"[bench] cpu e2e baseline {cpu['e2e_seconds_per_solve']:.1f}s "
+              f"(cached {cpu['measured']}) -> vs_baseline "
+              f"{vs_baseline:.1f}x", file=sys.stderr)
     except Exception as exc:  # noqa: BLE001
-        print(f"[bench] cpu probe failed: {exc}", file=sys.stderr)
+        print(f"[bench] no cached CPU e2e baseline ({exc}); "
+              "run `python bench.py --cpu-e2e` to refresh", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "ls2d_plasma_801_operator_apply",
-                "value": round(gpps / 1e6, 3),
-                "unit": "Mgridpoints/s",
-                "vs_baseline": round(vs_baseline, 3),
-            }
-        )
-    )
+    print(json.dumps({
+        "metric": "ls2d_plasma_801_full_solve",
+        "value": round(solve_gpps / 1e6, 3),
+        "unit": "Mgridpoints/s",
+        "vs_baseline": round(vs_baseline, 3),
+        "ms_per_solve": round(dt * 1e3, 1),
+        "pivot_path": pivot_used,
+        "apply_Mgpps": round(apply_gpps / 1e6, 3) if apply_gpps else None,
+    }))
 
 
 if __name__ == "__main__":

@@ -103,6 +103,10 @@ class SlabSystem3D:
     l1_max: int = struct.field(pytree_node=False)
     # backward-pass planes reaching the deepest bottom trace (0 = full)
     trace_tail: int = struct.field(pytree_node=False, default=0)
+    # pivot block axis: "z" (z-planes, (mn)^2 pivots, tail/resume
+    # optimizations) or "y" (y-planes, (l1 n)^2 pivots — l1/m the memory,
+    # exact; THE >=96^3-on-one-chip layout)
+    pivot_layout: str = struct.field(pytree_node=False, default="z")
 
 
 def build_slab_system_3d(
@@ -117,8 +121,18 @@ def build_slab_system_3d(
     shift_factor: float = 2.0,
     a_host: np.ndarray | None = None,
     ag_host: np.ndarray | None = None,
+    pivot_dtype: str = "full",
+    pivot_band: int | None = None,
 ) -> SlabSystem3D:
-    """Construct and factor all z-slabs (3D analog of ``build_slab_system``)."""
+    """Construct and factor all z-slabs (3D analog of ``build_slab_system``).
+
+    ``pivot_dtype`` in {"full", "bf16", "yblock", "yblock_bf16"} selects
+    plane-pivot storage and block axis (``sparse/direct.py``): the dense
+    (mn, mn) z-plane pivot inverses are the 3D memory wall; ``bf16`` halves
+    them, and the ``yblock`` layouts factor each slab over y-planes instead
+    — (l1 n)^2 pivot blocks, i.e. l1/m of the memory, EXACT solves — which
+    is what makes >=96^3 feasible on one chip (banded in-plane truncation
+    was measured and rejected: no in-plane absorption, no decay)."""
     if npml < 5:
         # see build_slab_system: the cutoff knots need >= 5 absorbing planes
         raise ValueError(f"npml must be >= 5 for ordered cutoff knots, got {npml}")
@@ -237,9 +251,24 @@ def build_slab_system_3d(
     cpl_np_n = plane_coupling(plnp, 0)
 
     h_dev = to_device_complex(h_sten, dtype)
-    fac = jax.jit(
-        jax.vmap(lambda v: factor_stencil_3d(StencilMatrix3D(values=v)))
-    )(h_dev)
+    layout = "y" if pivot_dtype.startswith("yblock") else "z"
+    storage = (
+        "bf16" if pivot_dtype in ("bf16", "yblock_bf16") else "full"
+    )
+
+    def _factor(v):
+        if layout == "y":
+            # block over y: transpose grid axes (l, m, n) -> (m, l, n) and
+            # stencil offset axes to match — the factorization machinery is
+            # axis-agnostic, so the y-blocked slab factorization is the
+            # z-plane code on the transposed stencil field
+            v = jnp.transpose(v, (1, 0, 2, 4, 3, 5))
+        return factor_stencil_3d(
+            StencilMatrix3D(values=v), pivot_dtype=storage,
+            pivot_band=pivot_band,
+        )
+
+    fac = jax.jit(jax.vmap(_factor))(h_dev)
 
     return SlabSystem3D(
         fac=fac,
@@ -264,7 +293,28 @@ def build_slab_system_3d(
         l1_max=l1_max,
         trace_tail=(int(l1_max - pln[pln >= 0].min()) + 1
                     if (pln >= 0).any() else 0),
+        pivot_layout=layout,
     )
+
+
+def slab_solve_3d(slabs: SlabSystem3D, fac_slice, rhs: jnp.ndarray,
+                  tail: int = 0) -> jnp.ndarray:
+    """One slab's local solve for rhs (l1_max, mn), dispatching on the
+    pivot block axis.  The y layout transposes rhs to y-major, solves the
+    y-blocked factorization, and transposes back (tail truncation is a
+    z-axis optimization and does not apply there)."""
+    if slabs.pivot_layout == "y":
+        l1, m, n = slabs.l1_max, slabs.m, slabs.n
+        r = rhs.reshape(l1, m, n).transpose(1, 0, 2).reshape(m, l1 * n)
+        u = block_thomas_solve_3d(fac_slice, r)
+        return u.reshape(m, l1, n).transpose(1, 0, 2).reshape(l1, m * n)
+    if tail:
+        from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
+            block_thomas_solve_support_3d,
+        )
+
+        return block_thomas_solve_support_3d(fac_slice, rhs, tail=tail)
+    return block_thomas_solve_3d(fac_slice, rhs)
 
 
 def partition_source_3d(slabs: SlabSystem3D, b: jnp.ndarray) -> jnp.ndarray:
@@ -305,6 +355,8 @@ def gs_sweep_3d(slabs: SlabSystem3D, b: jnp.ndarray) -> jnp.ndarray:
     """One optimized Gauss-Seidel down/up sweep over z-slabs:
     ``u ~ Msp^{-1} b`` (plane-trace analog of ``precondGSOptimized``,
     ``src/preconditioner.jl:557-630``)."""
+    if slabs.pivot_layout == "y":
+        return _gs_sweep_3d_plain(slabs, b)
     rhs0 = partition_source_3d(slabs, b)   # (S, l1_max, mn)
     dtype = rhs0.dtype
     m, n = slabs.m, slabs.n
@@ -353,6 +405,49 @@ def gs_sweep_3d(slabs: SlabSystem3D, b: jnp.ndarray) -> jnp.ndarray:
 
     xs_up = dict(_slab_xs(slabs), rhs=rhs_down, u_np_above=u_np_above,
                  y_c=y_all, t_c=t_all)
+    (_, _), u = jax.lax.scan(up_step, (zeros_p, zeros_p), xs_up, reverse=True)
+    return gather_interior_3d(slabs, u)
+
+
+def _gs_sweep_3d_plain(slabs: SlabSystem3D, b: jnp.ndarray) -> jnp.ndarray:
+    """Sweep variant with plain (uncached) local solves — used by the
+    y-blocked pivot layout, whose solves have no z-tail/resume structure."""
+    rhs0 = partition_source_3d(slabs, b)   # (S, l1_max, mn)
+    dtype = rhs0.dtype
+    m, n = slabs.m, slabs.n
+
+    def down_step(carry, xs):
+        u_n_prev, u_np_prev = carry
+        rhs = xs["rhs"]
+        add0 = _cpl_apply(xs["cpl_01"], u_np_prev, m, n)
+        add1 = -_cpl_apply(xs["cpl_10"], u_n_prev, m, n)
+        zero = jnp.zeros_like(add0)
+        rhs = rhs.at[xs["l0"]].add(jnp.where(xs["has_top"], add0, zero))
+        rhs = rhs.at[xs["l1"]].add(jnp.where(xs["has_top"], add1, zero))
+        v = slab_solve_3d(slabs, _fac_at(slabs.fac, xs["idx"]), rhs)
+        return (v[xs["ln"]], v[xs["lnp"]]), (rhs, v[xs["lnp"]])
+
+    zeros_p = jnp.zeros((m * n,), dtype)
+    xs = dict(_slab_xs(slabs), rhs=rhs0)
+    (_, _), (rhs_down, u_np_all) = jax.lax.scan(
+        down_step, (zeros_p, zeros_p), xs
+    )
+    u_np_above = jnp.concatenate([zeros_p[None], u_np_all[:-1]], axis=0)
+
+    def up_step(carry, xs):
+        u_0_next, u_1_next = carry
+        rhs = xs["rhs"]
+        addnp = _cpl_apply(xs["cpl_np_n"], u_0_next, m, n)
+        addn = -_cpl_apply(xs["cpl_n_np"], u_1_next, m, n)
+        zero = jnp.zeros_like(addnp)
+        rhs = rhs.at[xs["lnp"]].add(jnp.where(xs["has_bot"], addnp, zero))
+        rhs = rhs.at[xs["ln"]].add(jnp.where(xs["has_bot"], addn, zero))
+        u = slab_solve_3d(slabs, _fac_at(slabs.fac, xs["idx"]), rhs)
+        u_0 = u[xs["l0"]]
+        u_1 = u[xs["l1"]] - xs["u_np_above"]   # reflection correction
+        return (u_0, u_1), u
+
+    xs_up = dict(_slab_xs(slabs), rhs=rhs_down, u_np_above=u_np_above)
     (_, _), u = jax.lax.scan(up_step, (zeros_p, zeros_p), xs_up, reverse=True)
     return gather_interior_3d(slabs, u)
 

@@ -414,6 +414,35 @@ class BlockTridiagFactorization3D:
     usten: jnp.ndarray     # (l, m, n, 3, 3) couplings to plane k+1
 
 
+@struct.dataclass
+class BlockTridiagFactorization3DBF16:
+    """bf16-compressed 3D plane pivots: half the HBM of complex64 — the
+    (mn, mn) dense plane inverses are THE 3D memory wall (a 48^3 slab stack
+    is ~2 GB in c64; the reference leans on CPU PARDISO here,
+    ``examples/example3D.jl:68``).  Same trade as the 2D
+    :class:`BlockTridiagFactorizationBF16`: preconditioner-only use, the
+    outer Krylov absorbs the ~3-digit pivots."""
+
+    cinv_re: jnp.ndarray   # (l, mn, mn) bfloat16
+    cinv_im: jnp.ndarray   # (l, mn, mn) bfloat16
+    lsten: jnp.ndarray     # (l, m, n, 3, 3)
+    usten: jnp.ndarray     # (l, m, n, 3, 3)
+
+
+def _compress_pivot_bf16(cinv):
+    return (jnp.real(cinv).astype(jnp.bfloat16),
+            jnp.imag(cinv).astype(jnp.bfloat16))
+
+
+# NOTE on banded 3D pivots: flat- and block-banded truncation of the
+# (mn, mn) plane inverses was measured and REJECTED — the in-plane discrete
+# Green's function has no in-plane absorption to give it decay, so even
+# keeping 50% of the columns costs 4-5x the GMRES iterations (experiment
+# recorded in RESULTS.md).  The structural fix is the y-blocked slab layout
+# (``ddm/subdomain3d.py``): pivot blocks (l1 n)^2 instead of (m n)^2 —
+# exact solves at l1/m the memory.
+
+
 def _plane_stencil_matvec(sten: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Apply a (m, n, 3, 3) in-plane stencil to (m, n, ...) data."""
     m, n = sten.shape[0], sten.shape[1]
@@ -436,7 +465,19 @@ def _plane_stencil_to_dense(sten: jnp.ndarray) -> jnp.ndarray:
     return cols.reshape(m * n, m * n).T
 
 
-def factor_stencil_3d(s: StencilMatrix3D) -> BlockTridiagFactorization3D:
+def factor_stencil_3d(s: StencilMatrix3D, pivot_dtype: str = "full",
+                      pivot_band: int | None = None):
+    """Leading-axis plane block-Thomas factorization of a 3D stencil matrix
+    (blocks = planes orthogonal to ``values`` axis 0 — transpose the stencil
+    field first to block over a different axis).
+
+    ``pivot_dtype`` selects the pivot-inverse storage: ``full`` (complex) or
+    ``bf16``.  The compression is FUSED into the factorization scan — the
+    recursion carries one full (mn, mn) plane but only the compressed stack
+    is materialized, so peak memory is O(mn^2 + l * compressed) instead of
+    O(l * mn^2).
+    """
+    del pivot_band  # banded 3D pivots rejected by measurement; see above
     vals = s.values                       # (l, m, n, 3, 3, 3)
     l, m, n = vals.shape[:3]
     mn = m * n
@@ -445,6 +486,11 @@ def factor_stencil_3d(s: StencilMatrix3D) -> BlockTridiagFactorization3D:
     usten = vals[:, :, :, 2]
 
     usten_shift = jnp.concatenate([jnp.zeros_like(usten[:1]), usten[:-1]], axis=0)
+
+    if pivot_dtype == "bf16":
+        compress = _compress_pivot_bf16
+    else:
+        compress = lambda cinv: cinv
 
     def step(cinv_prev, inp):
         dsten_k, lsten_k, usten_prev = inp
@@ -458,32 +504,56 @@ def factor_stencil_3d(s: StencilMatrix3D) -> BlockTridiagFactorization3D:
         u_dense = _plane_stencil_to_dense(usten_prev)
         c = _plane_stencil_to_dense(dsten_k) - lcinv @ u_dense
         cinv = jnp.linalg.inv(c)
-        return cinv, cinv
+        return cinv, compress(cinv)
 
     cinv0 = jnp.zeros((mn, mn), dtype=vals.dtype)
-    _, cinv = jax.lax.scan(step, cinv0, (dsten, lsten, usten_shift))
-    return BlockTridiagFactorization3D(cinv=cinv, lsten=lsten, usten=usten)
+    _, out = jax.lax.scan(step, cinv0, (dsten, lsten, usten_shift))
+    if pivot_dtype == "bf16":
+        return BlockTridiagFactorization3DBF16(
+            cinv_re=out[0], cinv_im=out[1], lsten=lsten, usten=usten
+        )
+    return BlockTridiagFactorization3D(cinv=out, lsten=lsten, usten=usten)
+
+
+def _pivot_apply_3d(fac, k, y):
+    """Apply plane pivot inverse ``C_k^{-1}`` to ``y`` (mn[, r]) for any of
+    the three 3D storage formats (reuses the 2D dispatch, which keys on the
+    storage field names)."""
+    return _pivot_apply(jax.tree_util.tree_map(lambda a: a[k], fac), y)
+
+
+def _as_plane_stack_3d(fac, b):
+    """Reshape ``b`` — flat (l*m*n,), (l, mn), (l*m*n, r), or (l, mn, r) —
+    to an (l, mn, ...) plane stack."""
+    l = fac.lsten.shape[0]
+    mn = fac.lsten.shape[1] * fac.lsten.shape[2]
+    if b.ndim == 1:
+        return b.reshape(l, mn)
+    if b.ndim == 2 and b.shape[0] == l * mn:
+        return b.reshape(l, mn, b.shape[1])
+    return b.reshape((l, mn) + b.shape[2:])
 
 
 def _fwd_scan_3d(fac, bg, start: int = 0, t_start=None, collect_t: bool = False):
     """3D forward substitution over z-planes ``start..l-1`` (see
-    :func:`_fwd_scan`)."""
-    l = fac.cinv.shape[0]
+    :func:`_fwd_scan`); ``bg`` (l, mn[, r])."""
+    l = fac.lsten.shape[0]
     m, n = fac.lsten.shape[1], fac.lsten.shape[2]
-    mn = m * n
+    dtype = fac.lsten.dtype
     planes = jnp.arange(start, l)
 
     def fwd(t_prev, inp):
         b_k, lsten_k, k = inp
-        y_k = b_k - _plane_stencil_matvec(lsten_k, t_prev.reshape(m, n)).ravel()
-        t_k = fac.cinv[k] @ y_k
+        tp = t_prev.reshape((m, n) + t_prev.shape[1:])
+        y_k = b_k - _plane_stencil_matvec(lsten_k, tp).reshape(t_prev.shape)
+        t_k = _pivot_apply_3d(fac, k, y_k)
         out = (y_k, t_k) if collect_t else y_k
         return t_k, out
 
-    t0 = jnp.zeros((mn,), dtype=fac.cinv.dtype) if t_start is None else t_start
+    t0 = (jnp.zeros(bg.shape[1:], dtype=dtype) if t_start is None else t_start)
     _, out = jax.lax.scan(
         fwd, t0,
-        (bg[start:].astype(fac.cinv.dtype), fac.lsten[start:], planes),
+        (bg[start:].astype(dtype), fac.lsten[start:], planes),
         unroll=min(_SOLVE_UNROLL, l - start),
     )
     return out if collect_t else (out, None)
@@ -492,60 +562,75 @@ def _fwd_scan_3d(fac, bg, start: int = 0, t_start=None, collect_t: bool = False)
 def _bwd_scan_3d(fac, y, tail: int = 0):
     """3D backward substitution; ``tail > 0`` materializes only the last
     planes (see :func:`_bwd_scan`)."""
-    l = fac.cinv.shape[0]
+    l = fac.lsten.shape[0]
     m, n = fac.lsten.shape[1], fac.lsten.shape[2]
-    mn = m * n
+    dtype = fac.lsten.dtype
     full = tail <= 0 or tail >= l
     start = 0 if full else l - tail
     planes = jnp.arange(start, l)
 
     def bwd(x_next, inp):
         y_k, usten_k, k = inp
-        x_k = fac.cinv[k] @ (
-            y_k - _plane_stencil_matvec(usten_k, x_next.reshape(m, n)).ravel()
+        xn = x_next.reshape((m, n) + x_next.shape[1:])
+        x_k = _pivot_apply_3d(
+            fac, k,
+            y_k - _plane_stencil_matvec(usten_k, xn).reshape(x_next.shape),
         )
         return x_k, x_k
 
-    x0 = jnp.zeros((mn,), dtype=fac.cinv.dtype)
+    x0 = jnp.zeros(y.shape[1:], dtype=dtype)
     _, x = jax.lax.scan(
         bwd, x0, (y[start:], fac.usten[start:], planes),
         reverse=True, unroll=min(_SOLVE_UNROLL, l - start),
     )
     if full:
         return x
-    out = jnp.zeros((l, mn), dtype=fac.cinv.dtype)
+    out = jnp.zeros((l,) + y.shape[1:], dtype=dtype)
     return out.at[start:].set(x)
 
 
-def block_thomas_solve_3d(
-    fac: BlockTridiagFactorization3D, b: jnp.ndarray
-) -> jnp.ndarray:
-    l = fac.cinv.shape[0]
-    bg = b.reshape(l, -1)
+def block_thomas_solve_3d(fac, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve via the 3D plane factorization; ``b`` may be flat, (l, mn),
+    or multi-RHS with a trailing column axis."""
+    bg = _as_plane_stack_3d(fac, b)
     y, _ = _fwd_scan_3d(fac, bg)
     return _bwd_scan_3d(fac, y).reshape(b.shape)
 
 
-def block_thomas_solve_cached_3d(fac: BlockTridiagFactorization3D,
-                                 b: jnp.ndarray, tail: int = 0):
+def block_thomas_solve_support_3d(fac, b: jnp.ndarray, start: int = 0,
+                                  tail: int = 0) -> jnp.ndarray:
+    """3D solve for a rhs KNOWN to be zero on planes ``< start``; ``tail``
+    truncates the backward pass (see :func:`block_thomas_solve_support`)."""
+    l = fac.lsten.shape[0]
+    bg = _as_plane_stack_3d(fac, b)
+    if start <= 0 or start >= l:
+        y, _ = _fwd_scan_3d(fac, bg)
+    else:
+        y_new, _ = _fwd_scan_3d(fac, bg, start=start)
+        y = jnp.concatenate(
+            [jnp.zeros((start,) + y_new.shape[1:], y_new.dtype), y_new],
+            axis=0,
+        )
+    return _bwd_scan_3d(fac, y, tail).reshape(b.shape)
+
+
+def block_thomas_solve_cached_3d(fac, b: jnp.ndarray, tail: int = 0):
     """3D tail-truncated solve returning the forward-pass stacks
     (see :func:`block_thomas_solve_cached`)."""
-    l = fac.cinv.shape[0]
-    bg = b.reshape(l, -1)
+    bg = _as_plane_stack_3d(fac, b)
     y, t = _fwd_scan_3d(fac, bg, collect_t=True)
     return _bwd_scan_3d(fac, y, tail).reshape(b.shape), y, t
 
 
-def block_thomas_solve_resume_3d(fac: BlockTridiagFactorization3D,
-                                 b: jnp.ndarray, y_cached: jnp.ndarray,
+def block_thomas_solve_resume_3d(fac, b: jnp.ndarray, y_cached: jnp.ndarray,
                                  t_cached: jnp.ndarray, resume: int
                                  ) -> jnp.ndarray:
     """3D solve resuming a cached forward pass (see
     :func:`block_thomas_solve_resume`)."""
-    l = fac.cinv.shape[0]
+    l = fac.lsten.shape[0]
     if resume <= 0 or resume >= l:
         return block_thomas_solve_3d(fac, b)
-    bg = b.reshape(l, -1)
+    bg = _as_plane_stack_3d(fac, b)
     k0 = l - resume
     y_new, _ = _fwd_scan_3d(fac, bg, start=k0, t_start=t_cached[k0 - 1])
     y = jnp.concatenate([y_cached[:k0].astype(y_new.dtype), y_new], axis=0)
