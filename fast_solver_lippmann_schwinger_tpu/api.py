@@ -91,21 +91,36 @@ def build_problem(cfg: ProblemConfig) -> Problem:
     if cfg.precond == "none":
         pass
     elif cfg.dim == 3:
-        if cfg.precond not in ("sparsifying", "gs"):
+        if cfg.precond not in ("sparsifying", "gs", "polarized_traces"):
             raise ValueError(
-                "3D supports precond='sparsifying', 'gs' (z-slab sweep) or "
-                "'none' (the reference's polarized-traces DDM is 2D-only, "
-                "SURVEY.md section 2; the 'gs' sweep is a capability this "
-                "framework adds beyond the reference)"
+                "3D supports precond='sparsifying', 'gs' (z-slab sweep), "
+                "'polarized_traces' (plane-trace integral system) or 'none' "
+                "(the 'gs' and 'polarized_traces' DDM layers are "
+                "capabilities this framework adds beyond the reference, "
+                "whose 3D polarized traces is advertised but absent — "
+                "SURVEY.md section 2)"
             )
         a_st, ag_st = stencils.build_sparse_a_ag_3d(k, op, dtype=dtype)
-        if cfg.precond == "gs":
+        if cfg.precond in ("gs", "polarized_traces"):
             slabs3 = build_slab_system_3d(
                 a_st, ag_st, nu, grid.x, cfg.h, k,
                 cfg.ddm.n_subdomains, npml=cfg.ddm.npml,
                 shift_factor=cfg.ddm.shift_factor,
+                pivot_dtype=(cfg.pivot_dtype
+                             if cfg.pivot_dtype != "pallas" else "full"),
             )
-            precond = SingleSweepPreconditioner3D(slabs=slabs3, a_s=a_st)
+            if cfg.precond == "gs":
+                precond = SingleSweepPreconditioner3D(slabs=slabs3, a_s=a_st)
+            else:
+                from fast_solver_lippmann_schwinger_tpu.ddm.polarized3d import (
+                    PolarizedTracesPreconditioner3D,
+                )
+
+                precond = PolarizedTracesPreconditioner3D(
+                    slabs=slabs3, a_s=a_st, n_it=cfg.ddm.n_inner_iters,
+                    inner_tol=cfg.ddm.inner_tol,
+                    inner_maxiter=cfg.ddm.inner_maxiter,
+                )
         else:
             msp = stencils.build_msp_3d(a_st, ag_st, nu, k)
             precond = SparsifyingPreconditioner3D.build(msp, a_st)

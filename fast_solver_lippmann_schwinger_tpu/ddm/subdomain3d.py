@@ -107,6 +107,8 @@ class SlabSystem3D:
     # optimizations) or "y" (y-planes, (l1 n)^2 pivots — l1/m the memory,
     # exact; THE >=96^3-on-one-chip layout)
     pivot_layout: str = struct.field(pytree_node=False, default="z")
+    # first plane carrying a top trace (static; 0 = no head skip)
+    trace_head: int = struct.field(pytree_node=False, default=0)
 
 
 def build_slab_system_3d(
@@ -294,26 +296,32 @@ def build_slab_system_3d(
         trace_tail=(int(l1_max - pln[pln >= 0].min()) + 1
                     if (pln >= 0).any() else 0),
         pivot_layout=layout,
+        trace_head=(int(pl0[pl0 >= 0].min()) if (pl0 >= 0).any() else 0),
     )
 
 
 def slab_solve_3d(slabs: SlabSystem3D, fac_slice, rhs: jnp.ndarray,
-                  tail: int = 0) -> jnp.ndarray:
-    """One slab's local solve for rhs (l1_max, mn), dispatching on the
+                  start: int = 0, tail: int = 0) -> jnp.ndarray:
+    """One slab's local solve for rhs (l1_max, mn[, r]), dispatching on the
     pivot block axis.  The y layout transposes rhs to y-major, solves the
-    y-blocked factorization, and transposes back (tail truncation is a
-    z-axis optimization and does not apply there)."""
+    y-blocked factorization, and transposes back (``start``/``tail`` are
+    z-axis optimizations and do not apply there)."""
     if slabs.pivot_layout == "y":
         l1, m, n = slabs.l1_max, slabs.m, slabs.n
-        r = rhs.reshape(l1, m, n).transpose(1, 0, 2).reshape(m, l1 * n)
+        extra = rhs.shape[2:]
+        r = rhs.reshape((l1, m, n) + extra)
+        r = jnp.moveaxis(r, 1, 0).reshape((m, l1 * n) + extra)
         u = block_thomas_solve_3d(fac_slice, r)
-        return u.reshape(m, l1, n).transpose(1, 0, 2).reshape(l1, m * n)
-    if tail:
+        u = jnp.moveaxis(u.reshape((m, l1, n) + extra), 0, 1)
+        return u.reshape((l1, m * n) + extra)
+    if start or tail:
         from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
             block_thomas_solve_support_3d,
         )
 
-        return block_thomas_solve_support_3d(fac_slice, rhs, tail=tail)
+        return block_thomas_solve_support_3d(
+            fac_slice, rhs, start=start, tail=tail
+        )
     return block_thomas_solve_3d(fac_slice, rhs)
 
 
