@@ -40,5 +40,5 @@ def test_api_all_preconditioners(precond, quad):
 def test_api_bad_precond_raises():
     with pytest.raises(ValueError, match="unknown precond"):
         api.build_problem(ProblemConfig(precond="typo"))
-    with pytest.raises(ValueError, match="2D-only"):
+    with pytest.raises(ValueError, match="3D supports"):
         api.build_problem(ProblemConfig(dim=3, precond="double_sweep"))
