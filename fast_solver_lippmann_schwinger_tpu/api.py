@@ -74,7 +74,7 @@ def build_problem(cfg: ProblemConfig) -> Problem:
         nu = _MEDIA_2D[cfg.medium](X, Y)
         op = build_fast_convolution_2d(
             grid.x, grid.y, cfg.h, k, nu, quad_rule=cfg.quad_rule, dtype=dtype,
-            prefer_pow2=cfg.prefer_pow2,
+            prefer_pow2=cfg.prefer_pow2, cache_dir=cfg.cache_dir,
         )
     elif cfg.dim == 3:
         grid = Grid3D(a=cfg.a, h=cfg.h)
@@ -82,7 +82,7 @@ def build_problem(cfg: ProblemConfig) -> Problem:
         nu = _MEDIA_3D[cfg.medium](X, Y, Z)
         op = build_fast_convolution_3d(
             grid.x, grid.x, grid.x, cfg.h, k, nu, dtype=dtype,
-            prefer_pow2=cfg.prefer_pow2,
+            prefer_pow2=cfg.prefer_pow2, cache_dir=cfg.cache_dir,
         )
     else:
         raise ValueError(f"dim must be 2 or 3, got {cfg.dim}")
@@ -100,7 +100,9 @@ def build_problem(cfg: ProblemConfig) -> Problem:
                 "whose 3D polarized traces is advertised but absent — "
                 "SURVEY.md section 2)"
             )
-        a_st, ag_st = stencils.build_sparse_a_ag_3d(k, op, dtype=dtype)
+        a_st, ag_st = stencils.build_sparse_a_ag_3d(
+            k, op, dtype=dtype, cache_dir=cfg.cache_dir
+        )
         if cfg.precond in ("gs", "polarized_traces"):
             slabs3 = build_slab_system_3d(
                 a_st, ag_st, nu, grid.x, cfg.h, k,
@@ -108,6 +110,7 @@ def build_problem(cfg: ProblemConfig) -> Problem:
                 shift_factor=cfg.ddm.shift_factor,
                 pivot_dtype=(cfg.pivot_dtype
                              if cfg.pivot_dtype != "pallas" else "full"),
+                cache_dir=cfg.cache_dir,
             )
             if cfg.precond == "gs":
                 precond = SingleSweepPreconditioner3D(slabs=slabs3, a_s=a_st)
@@ -126,13 +129,14 @@ def build_problem(cfg: ProblemConfig) -> Problem:
             precond = SparsifyingPreconditioner3D.build(msp, a_st)
     elif cfg.precond == "sparsifying":
         a_st, ag_st = stencils.build_sparse_a_ag_2d(
-            k, grid.x, grid.y, cfg.h, dtype=dtype
+            k, grid.x, grid.y, cfg.h, dtype=dtype, cache_dir=cfg.cache_dir
         )
         msp = stencils.build_msp_2d(a_st, ag_st, nu, k)
         precond = SparsifyingPreconditioner.build(msp, a_st)
     elif cfg.precond in ("gs", "double_sweep", "polarized_traces"):
         a_st, ag_st, a_np, ag_np = stencils.build_sparse_a_ag_2d(
-            k, grid.x, grid.y, cfg.h, dtype=dtype, return_host=True
+            k, grid.x, grid.y, cfg.h, dtype=dtype, return_host=True,
+            cache_dir=cfg.cache_dir,
         )
         msp = stencils.build_msp_2d(a_st, ag_st, nu, k)
         slabs = build_slab_system(
@@ -140,7 +144,7 @@ def build_problem(cfg: ProblemConfig) -> Problem:
             cfg.ddm.n_subdomains, npml=cfg.ddm.npml,
             shift_factor=cfg.ddm.shift_factor,
             a_host=a_np, ag_host=ag_np, pivot_dtype=cfg.pivot_dtype,
-            pivot_band=cfg.pivot_band,
+            pivot_band=cfg.pivot_band, cache_dir=cfg.cache_dir,
         )
         if cfg.precond == "gs":
             precond = SingleSweepPreconditioner(slabs=slabs, a_s=a_st)
@@ -159,7 +163,7 @@ def build_problem(cfg: ProblemConfig) -> Problem:
                 a_host=a_np.transpose(1, 0, 3, 2),
                 ag_host=ag_np.transpose(1, 0, 3, 2),
                 pivot_dtype=cfg.pivot_dtype,
-                pivot_band=cfg.pivot_band,
+                pivot_band=cfg.pivot_band, cache_dir=cfg.cache_dir,
             )
             precond = DoubleSweepPreconditioner(
                 slabs=slabs, slabs_t=slabs_t, msp=msp, a_s=a_st

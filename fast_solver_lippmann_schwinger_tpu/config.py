@@ -77,6 +77,10 @@ class ProblemConfig:
     precond: str = "sparsifying"
     pivot_dtype: str = "full"          # full | bf16 | banded | pallas (DDM pivots)
     pivot_band: int | None = None      # band width for pivot_dtype="banded"
+    cache_dir: str | None = None       # checkpoint dir for expensive setup
+                                       # artifacts (GFFT symbol, stencil
+                                       # fields, slab factorizations) —
+                                       # SURVEY.md section 5
     incident_direction: tuple = (1.0, 0.0)
     solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
     ddm: DDMConfig = dataclasses.field(default_factory=DDMConfig)

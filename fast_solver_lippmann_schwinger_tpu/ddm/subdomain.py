@@ -18,6 +18,9 @@ per-slab trace/interface index vectors.  Slab factorization is a single
 
 from __future__ import annotations
 
+import hashlib
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -160,6 +163,7 @@ def build_slab_system(
     ag_host: np.ndarray | None = None,
     pivot_dtype: str = "full",
     pivot_band: int | None = None,
+    cache_dir: str | None = None,
 ) -> SlabSystem:
     """Construct and factor all slabs of one sweep direction.
 
@@ -296,60 +300,93 @@ def build_slab_system(
     trace_head = int(valid_l0.min()) if valid_l0.size else 0
 
     h_dev = to_device_complex(h_sten, dtype)
-    pfac = None
-    if pivot_dtype == "pallas":
-        # fused-Pallas sweep path: store ONLY the padded/transposed bf16
-        # layout (sparse/pallas_thomas.py); the XLA-side fac keeps the
-        # bands (cheap) with a placeholder pivot stack so shape metadata
-        # and non-sweep consumers of the bands still work
-        from fast_solver_lippmann_schwinger_tpu.sparse import (
-            pallas_thomas as pt,
-        )
 
-        @jax.jit
-        def _factor_pallas(v):
-            fac_full = jax.vmap(
-                lambda vv: factor_stencil_2d(StencilMatrix2D(values=vv))
-            )(v)
-            return (
-                pt.build_pallas_factorization(fac_full),
-                fac_full.lband,
-                fac_full.uband,
+    def _factor(v):
+        """(fac, pfac) for the requested pivot mode — the expensive step."""
+        if pivot_dtype == "pallas":
+            # fused-Pallas sweep path: store ONLY the padded/transposed bf16
+            # layout (sparse/pallas_thomas.py); the XLA-side fac keeps the
+            # bands (cheap) with a placeholder pivot stack so shape metadata
+            # and non-sweep consumers of the bands still work
+            from fast_solver_lippmann_schwinger_tpu.sparse import (
+                pallas_thomas as pt,
             )
 
-        pfac, lb, ub = _factor_pallas(h_dev)
-        fac = BlockTridiagFactorization(
-            cinv=jnp.zeros((S, m1_max, 0, 0), dtype), lband=lb, uband=ub
-        )
-    elif pivot_dtype == "bf16":
-        from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
-            compress_factorization,
-        )
-
-        fac = jax.jit(
-            jax.vmap(
-                lambda v: compress_factorization(
-                    factor_stencil_2d(StencilMatrix2D(values=v))
+            @jax.jit
+            def _factor_pallas(vv):
+                fac_full = jax.vmap(
+                    lambda w: factor_stencil_2d(StencilMatrix2D(values=w))
+                )(vv)
+                return (
+                    pt.build_pallas_factorization(fac_full),
+                    fac_full.lband,
+                    fac_full.uband,
                 )
-            )
-        )(h_dev)
-    elif pivot_dtype == "banded":
-        from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
-            compress_factorization_banded,
-        )
 
-        width = pivot_band if pivot_band is not None else max(n // 8, 33)
-        fac = jax.jit(
-            jax.vmap(
-                lambda v: compress_factorization_banded(
-                    factor_stencil_2d(StencilMatrix2D(values=v)), width
-                )
+            pfac, lb, ub = _factor_pallas(v)
+            fac = BlockTridiagFactorization(
+                cinv=jnp.zeros((S, m1_max, 0, 0), dtype), lband=lb, uband=ub
             )
-        )(h_dev)
-    else:
-        fac = jax.jit(
-            jax.vmap(lambda v: factor_stencil_2d(StencilMatrix2D(values=v)))
-        )(h_dev)
+            return fac, pfac
+        if pivot_dtype == "bf16":
+            from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
+                compress_factorization,
+            )
+
+            return jax.jit(
+                jax.vmap(
+                    lambda vv: compress_factorization(
+                        factor_stencil_2d(StencilMatrix2D(values=vv))
+                    )
+                )
+            )(v), None
+        if pivot_dtype == "banded":
+            from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
+                compress_factorization_banded,
+            )
+
+            width = pivot_band if pivot_band is not None else max(n // 8, 33)
+            return jax.jit(
+                jax.vmap(
+                    lambda vv: compress_factorization_banded(
+                        factor_stencil_2d(StencilMatrix2D(values=vv)), width
+                    )
+                )
+            )(v), None
+        return jax.jit(
+            jax.vmap(lambda vv: factor_stencil_2d(StencilMatrix2D(values=vv)))
+        )(v), None
+
+    # checkpoint/resume (SURVEY.md section 5): the batched factorization is
+    # the dominant setup cost (minutes at the 801 headline scale on CPU);
+    # cache it keyed on the exact local systems + pivot mode.  The load
+    # template comes from jax.eval_shape (no compute); saving fetches to
+    # host, so it only runs where fetching is cheap (CPU backend).
+    fac = pfac = None
+    cache_path = None
+    if cache_dir is not None:
+        from fast_solver_lippmann_schwinger_tpu.utils import checkpoint
+
+        key = checkpoint.config_key(
+            h_digest=hashlib.sha256(
+                np.ascontiguousarray(h_sten).tobytes()
+            ).hexdigest(),
+            shape=list(h_sten.shape),
+            pivot_dtype=pivot_dtype,
+            pivot_band=pivot_band,
+            dtype=str(dtype),
+        )
+        cache_path = os.path.join(cache_dir, f"slabfac_{key}.npz")
+        template = jax.eval_shape(_factor, h_dev)
+        loaded = checkpoint.load_arrays(cache_path, like=template)
+        if loaded is not None:
+            fac, pfac = loaded
+    if fac is None:
+        fac, pfac = _factor(h_dev)
+        if cache_path is not None and jax.default_backend() == "cpu":
+            from fast_solver_lippmann_schwinger_tpu.utils import checkpoint
+
+            checkpoint.save_arrays(cache_path, (fac, pfac))
 
     return SlabSystem(
         h_stencils=h_dev,

@@ -125,6 +125,7 @@ def build_slab_system_3d(
     ag_host: np.ndarray | None = None,
     pivot_dtype: str = "full",
     pivot_band: int | None = None,
+    cache_dir: str | None = None,
 ) -> SlabSystem3D:
     """Construct and factor all z-slabs (3D analog of ``build_slab_system``).
 
@@ -270,7 +271,34 @@ def build_slab_system_3d(
             pivot_band=pivot_band,
         )
 
-    fac = jax.jit(jax.vmap(_factor))(h_dev)
+    # checkpoint/resume: same scheme as the 2D builder (eval_shape template,
+    # save only where host fetches are cheap)
+    fac = None
+    cache_path = None
+    if cache_dir is not None:
+        import hashlib
+        import os
+
+        from fast_solver_lippmann_schwinger_tpu.utils import checkpoint
+
+        key = checkpoint.config_key(
+            h_digest=hashlib.sha256(
+                np.ascontiguousarray(h_sten).tobytes()
+            ).hexdigest(),
+            shape=list(h_sten.shape),
+            pivot_dtype=pivot_dtype,
+            pivot_band=pivot_band,
+            dtype=str(dtype),
+        )
+        cache_path = os.path.join(cache_dir, f"slabfac3d_{key}.npz")
+        template = jax.eval_shape(jax.vmap(_factor), h_dev)
+        fac = checkpoint.load_arrays(cache_path, like=template)
+    if fac is None:
+        fac = jax.jit(jax.vmap(_factor))(h_dev)
+        if cache_path is not None and jax.default_backend() == "cpu":
+            from fast_solver_lippmann_schwinger_tpu.utils import checkpoint
+
+            checkpoint.save_arrays(cache_path, fac)
 
     return SlabSystem3D(
         fac=fac,

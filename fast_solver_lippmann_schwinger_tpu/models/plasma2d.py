@@ -44,6 +44,7 @@ def build_problem(
     pivot_dtype: str = "full",
     pivot_band: int | None = None,
     use_pallas: bool = False,
+    cache_dir: str | None = None,
 ) -> Plasma2DProblem:
     """``double_sweep=False`` uses the single-direction GS sweep composite
     (reference ``Preconditioner``/``GSPreconditioner`` family) — half the
@@ -59,17 +60,19 @@ def build_problem(
     nu = media.plasma_2d(X, Y)
 
     op = build_fast_convolution_2d(
-        grid.x, grid.y, h, k, nu, quad_rule="greengard_vico", dtype=dtype
+        grid.x, grid.y, h, k, nu, quad_rule="greengard_vico", dtype=dtype,
+        cache_dir=cache_dir,
     )
     a_st, ag_st, a_np, ag_np = stencils.build_sparse_a_ag_2d(
-        k, grid.x, grid.y, h, dtype=dtype, return_host=True
+        k, grid.x, grid.y, h, dtype=dtype, return_host=True,
+        cache_dir=cache_dir,
     )
     msp = stencils.build_msp_2d(a_st, ag_st, nu, k)
 
     slabs = build_slab_system(
         a_st, ag_st, nu, grid.x, grid.y, h, k, n_subdomains, npml=npml,
         a_host=a_np, ag_host=ag_np, pivot_dtype=pivot_dtype,
-        pivot_band=pivot_band,
+        pivot_band=pivot_band, cache_dir=cache_dir,
     )
     if use_pallas:
         from fast_solver_lippmann_schwinger_tpu.ddm.subdomain import (
@@ -77,13 +80,16 @@ def build_problem(
         )
 
         slabs = attach_pallas(slabs)
+        # the As.b sparsification step of every preconditioner application
+        # also runs the fused Pallas stencil SpMV (ops/pallas_stencil.py)
+        a_st = a_st.replace(use_pallas=True)
     if double_sweep:
         slabs_t = build_slab_system(
             a_st.transpose(), ag_st.transpose(), nu.T,
             grid.y, grid.x, h, k, n_subdomains, npml=npml,
             a_host=a_np.transpose(1, 0, 3, 2),
             ag_host=ag_np.transpose(1, 0, 3, 2), pivot_dtype=pivot_dtype,
-            pivot_band=pivot_band,
+            pivot_band=pivot_band, cache_dir=cache_dir,
         )
         if use_pallas:
             slabs_t = attach_pallas(slabs_t)

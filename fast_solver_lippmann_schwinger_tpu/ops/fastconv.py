@@ -137,6 +137,36 @@ class LippmannSchwinger3D:
         return self.apply(u)
 
 
+def _cached_symbol(compute, cache_dir, **key_fields):
+    """Host-side checkpoint of a spectral symbol (``GFFT``).
+
+    ``compute()`` returns ``(sym, *extents)``; the npz stores the symbol
+    array and the integer extents, keyed on the quadrature configuration.
+    """
+    if cache_dir is None:
+        return compute()
+    import os
+
+    from fast_solver_lippmann_schwinger_tpu.utils import checkpoint
+
+    path = os.path.join(
+        cache_dir, f"symbol_{checkpoint.config_key(**key_fields)}.npz"
+    )
+    if os.path.exists(path):
+        data = np.load(path, allow_pickle=False)
+        return (data["sym"], *(int(v) for v in data["extents"]))
+    out = compute()
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = path + ".tmp.npz"
+    with open(tmp, "wb") as fh:
+        np.savez_compressed(
+            fh, sym=np.asarray(out[0]),
+            extents=np.asarray(out[1:], np.int64),
+        )
+    os.replace(tmp, path)
+    return out
+
+
 def build_fast_convolution_2d(
     x: np.ndarray,
     y: np.ndarray,
@@ -147,6 +177,7 @@ def build_fast_convolution_2d(
     dtype=jnp.complex64,
     pad_to_friendly: bool = True,
     prefer_pow2: bool | None = None,
+    cache_dir: str | None = None,
 ) -> LippmannSchwinger2D:
     """Build the 2D fast operator (reference ``buildFastConvolution``,
     ``src/FastConvolution.jl:170-236``).
@@ -156,27 +187,36 @@ def build_fast_convolution_2d(
     (power-of-two vs 5-smooth); the default ``None`` sniffs the CURRENT
     backend — pass it explicitly when building artifacts on one backend for
     use on another (pow2 measured ~6x faster per point on TPU).
+    ``cache_dir`` checkpoints the spectral symbol (the reference's ``GFFT``)
+    keyed on the quadrature configuration (SURVEY.md section 5).
     """
     quad_rule = QuadRule(quad_rule)
     n, m = len(x), len(y)
     X, Y = np.meshgrid(np.asarray(x), np.asarray(y), indexing="xy")
     nu_arr = nu(X, Y) if callable(nu) else np.asarray(nu).reshape(m, n)
 
-    if quad_rule == QuadRule.TRAPEZOIDAL:
-        sym, ne, me = greens.trapezoidal_kernel_2d(
-            n, m, h, k,
-            ne=None if pad_to_friendly else 2 * n - 1,
-            me=None if pad_to_friendly else 2 * m - 1,
-            prefer_pow2=prefer_pow2,
-        )
-    elif pad_to_friendly:
-        # exact compact re-embedding of the GV quadrature: ~2n extended grid
-        # instead of 4n (see greens.gv_compact_kernel_2d)
-        sym, ne, me = greens.gv_compact_kernel_2d(
-            n, m, h, k, prefer_pow2=prefer_pow2
-        )
-    else:
-        sym, ne, me = greens.gv_symbol_2d(n, m, h, k, ne=4 * n, me=4 * m)
+    def _symbol():
+        if quad_rule == QuadRule.TRAPEZOIDAL:
+            return greens.trapezoidal_kernel_2d(
+                n, m, h, k,
+                ne=None if pad_to_friendly else 2 * n - 1,
+                me=None if pad_to_friendly else 2 * m - 1,
+                prefer_pow2=prefer_pow2,
+            )
+        if pad_to_friendly:
+            # exact compact re-embedding of the GV quadrature: ~2n extended
+            # grid instead of 4n (see greens.gv_compact_kernel_2d)
+            return greens.gv_compact_kernel_2d(
+                n, m, h, k, prefer_pow2=prefer_pow2
+            )
+        return greens.gv_symbol_2d(n, m, h, k, ne=4 * n, me=4 * m)
+
+    sym, ne, me = _cached_symbol(
+        _symbol, cache_dir, dim=2, quad=quad_rule.value, n=n, m=m, h=h, k=k,
+        pad=pad_to_friendly,
+        pow2=greens.resolve_prefer_pow2(prefer_pow2) if pad_to_friendly
+        else None,
+    )
 
     real_dtype = jnp.float64 if dtype == jnp.complex128 else jnp.float32
     return LippmannSchwinger2D(
@@ -200,6 +240,7 @@ def build_fast_convolution_3d(
     dtype=jnp.complex64,
     pad_to_friendly: bool = True,
     prefer_pow2: bool | None = None,
+    cache_dir: str | None = None,
 ) -> LippmannSchwinger3D:
     """3D fast operator (reference ``buildFastConvolution3D``,
     ``src/FastConvolution3D.jl:68-132``; Greengard-Vico only, as in the
@@ -211,14 +252,21 @@ def build_fast_convolution_3d(
     Z, Y, X = np.meshgrid(np.asarray(z), np.asarray(y), np.asarray(x), indexing="ij")
     nu_arr = nu(X, Y, Z) if callable(nu) else np.asarray(nu).reshape(l, m, n)
 
-    if pad_to_friendly:
-        sym, ne, me, le = greens.gv_compact_kernel_3d(
-            n, m, l, h, k, prefer_pow2=prefer_pow2
-        )
-    else:
-        sym, ne, me, le = greens.gv_symbol_3d(
+    def _symbol():
+        if pad_to_friendly:
+            return greens.gv_compact_kernel_3d(
+                n, m, l, h, k, prefer_pow2=prefer_pow2
+            )
+        return greens.gv_symbol_3d(
             n, m, l, h, k, ne=4 * n, me=4 * m, le=4 * l
         )
+
+    sym, ne, me, le = _cached_symbol(
+        _symbol, cache_dir, dim=3, quad=quad_rule.value, n=n, m=m, l=l, h=h,
+        k=k, pad=pad_to_friendly,
+        pow2=greens.resolve_prefer_pow2(prefer_pow2) if pad_to_friendly
+        else None,
+    )
     real_dtype = jnp.float64 if dtype == jnp.complex128 else jnp.float32
     return LippmannSchwinger3D(
         symbol=to_device_complex(sym, dtype),

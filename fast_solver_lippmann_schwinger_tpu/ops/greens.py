@@ -84,6 +84,12 @@ def _prefer_pow2_default() -> bool:
         return False
 
 
+def resolve_prefer_pow2(prefer_pow2: bool | None) -> bool:
+    """The concrete size-class choice ``good_fft_size`` will make — used to
+    key symbol checkpoints on the resolved policy, not the ``None`` sniff."""
+    return _prefer_pow2_default() if prefer_pow2 is None else bool(prefer_pow2)
+
+
 def good_fft_size(minimum: int, multiple_of: int = 1,
                   prefer_pow2: bool | None = None) -> int:
     """Smallest FFT-fast integer >= minimum (and divisible by

@@ -26,9 +26,15 @@ from flax import struct
 
 @struct.dataclass
 class StencilMatrix2D:
-    """A sparse matrix whose rows are 3x3 stencils on an (m, n) grid."""
+    """A sparse matrix whose rows are 3x3 stencils on an (m, n) grid.
+
+    ``use_pallas=True`` routes single-RHS matvecs through the fused Pallas
+    kernel (``ops/pallas_stencil.py``) — one VMEM pass instead of the XLA
+    9-tap chain; multi-RHS and transposed applies keep the XLA path.
+    """
 
     values: jnp.ndarray   # (m, n, 3, 3) complex
+    use_pallas: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def m(self) -> int:
@@ -49,6 +55,17 @@ class StencilMatrix2D:
         ``cscmv``."""
         m, n = self.m, self.n
         extra = u.shape[1:] if u.ndim > 1 and u.shape[0] == m * n else u.shape[2:]
+        if self.use_pallas and not extra:
+            from fast_solver_lippmann_schwinger_tpu.ops.pallas_stencil import (
+                stencil_matvec_2d,
+            )
+            from fast_solver_lippmann_schwinger_tpu.sparse.pallas_thomas import (
+                _resolve_interpret,
+            )
+
+            return stencil_matvec_2d(
+                self.values, u, interpret=_resolve_interpret(None)
+            )
         u2 = u.reshape((m, n) + extra)
         pad = [(1, 1), (1, 1)] + [(0, 0)] * len(extra)
         up = jnp.pad(u2, pad)

@@ -24,10 +24,27 @@ def config_key(**kwargs) -> str:
     return hashlib.sha256(blob).hexdigest()[:16]
 
 
+def _host_leaf(leaf) -> np.ndarray:
+    """Fetch one leaf to host in an npz-portable dtype.
+
+    bfloat16 (no portable numpy serialization) round-trips exactly through
+    float32; complex leaves go through :func:`utils.host.fetch`, which works
+    on restricted backends that cannot fetch complex buffers directly.
+    """
+    from fast_solver_lippmann_schwinger_tpu.utils.host import fetch
+
+    leaf = jnp.asarray(leaf)
+    if leaf.dtype == jnp.bfloat16:
+        leaf = leaf.astype(jnp.float32)
+    if leaf.size == 0:
+        return np.zeros(leaf.shape, np.dtype(leaf.dtype))
+    return fetch(leaf)
+
+
 def save_arrays(path: str, tree, **meta) -> None:
     """Save a pytree of arrays (+ JSON metadata) to ``path`` (.npz)."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
-    payload = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    payload = {f"leaf_{i}": _host_leaf(leaf) for i, leaf in enumerate(leaves)}
     payload["__meta__"] = np.frombuffer(
         json.dumps({"treedef": str(treedef), **meta}).encode(), dtype=np.uint8
     )
@@ -41,9 +58,11 @@ def save_arrays(path: str, tree, **meta) -> None:
 def load_arrays(path: str, like=None):
     """Load arrays saved by :func:`save_arrays`.
 
-    With ``like`` (a pytree template of the same structure), the flat leaves
-    are re-assembled into that structure and placed on device with the
-    template's dtypes.
+    With ``like`` (a pytree template of the same structure — e.g. the
+    output of ``jax.eval_shape`` on the builder, which costs no compute),
+    the flat leaves are re-assembled into that structure and placed on
+    device with the template's dtypes.  Complex leaves ship real/imag
+    separately (restricted backends reject complex host->device transfers).
     """
     if not os.path.exists(path):
         return None
@@ -53,9 +72,16 @@ def load_arrays(path: str, like=None):
     if like is None:
         return leaves
     like_leaves, treedef = jax.tree_util.tree_flatten(like)
-    assert len(like_leaves) == len(leaves), "checkpoint/template mismatch"
-    dev_leaves = [
-        jnp.asarray(leaf, dtype=tmpl.dtype)
-        for leaf, tmpl in zip(leaves, like_leaves)
-    ]
+    if len(like_leaves) != len(leaves):
+        return None  # stale checkpoint from an older layout
+    from fast_solver_lippmann_schwinger_tpu.utils.host import to_device_complex
+
+    dev_leaves = []
+    for leaf, tmpl in zip(leaves, like_leaves):
+        if leaf.shape != tuple(tmpl.shape):
+            return None
+        if jnp.issubdtype(tmpl.dtype, jnp.complexfloating):
+            dev_leaves.append(to_device_complex(leaf, tmpl.dtype))
+        else:
+            dev_leaves.append(jnp.asarray(leaf, dtype=tmpl.dtype))
     return jax.tree_util.tree_unflatten(treedef, dev_leaves)
