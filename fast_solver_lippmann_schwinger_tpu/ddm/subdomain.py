@@ -324,8 +324,14 @@ def build_slab_system(
                 )
 
             pfac, lb, ub = _factor_pallas(v)
+            # eager complex creation can raise UNIMPLEMENTED on the tunnel
+            # backend — ship the empty placeholder through the jitted
+            # real/imag combine instead
             fac = BlockTridiagFactorization(
-                cinv=jnp.zeros((S, m1_max, 0, 0), dtype), lband=lb, uband=ub
+                cinv=to_device_complex(
+                    np.zeros((S, m1_max, 0, 0)), dtype
+                ),
+                lband=lb, uband=ub,
             )
             return fac, pfac
         if pivot_dtype == "bf16":
