@@ -42,6 +42,33 @@ def _convolve_2d_local(sym_cols, x_rows, axis):
     return jnp.fft.ifft(x, axis=1)
 
 
+def _convolve_2d_batch_local(sym_cols, x_rows, axis):
+    """Batched shard_map body: x_rows (R, me/P, ne), sym_cols (me, ne/P).
+
+    FFTs stay on the (contiguous) LAST axis — mid-axis batched FFTs hand
+    the XLA:CPU fft thunk a non-dim0-major layout it rejects, and last-axis
+    FFTs are the fast layout on TPU too.
+    """
+    # every FFT runs as a 2-D (rows, last-axis) transform: 3-D mid/last-axis
+    # FFTs inside large loop bodies get handed a non-dim0-major layout by
+    # XLA:CPU layout assignment, which the fft thunk rejects
+    # (IsMonotonicWithDim0Major RET_CHECK); the flattened 2-D form is also
+    # the fast layout on TPU
+    def fft2d(v, inverse=False):
+        f = jnp.fft.ifft if inverse else jnp.fft.fft
+        return f(v.reshape(-1, v.shape[-1]), axis=1).reshape(v.shape)
+
+    x = fft2d(x_rows)
+    x = jax.lax.all_to_all(x, axis, split_axis=2, concat_axis=1, tiled=True)
+    x = jnp.swapaxes(x, 1, 2)             # (R, ne/P, me): columns complete
+    x = fft2d(x)
+    x = x * sym_cols.T[None]
+    x = fft2d(x, inverse=True)
+    x = jnp.swapaxes(x, 1, 2)
+    x = jax.lax.all_to_all(x, axis, split_axis=1, concat_axis=2, tiled=True)
+    return fft2d(x, inverse=True)
+
+
 def _convolve_3d_local(sym_pencil, x_slabs, axis):
     """x_slabs (le/P, me, ne) sharded on axis 0; sym_pencil (le, me/P, ne)
     sharded on axis 1."""
@@ -91,6 +118,38 @@ class DistributedLS2D:
     def apply(self, u: jnp.ndarray) -> jnp.ndarray:
         scaled = (self.nu.reshape(u.shape) * u).astype(self.symbol.dtype)
         return u + (self.omega ** 2) * self.convolve(scaled)
+
+    def convolve_batch(self, b: jnp.ndarray) -> jnp.ndarray:
+        """(R, m*n) batch convolution — one sharded program, the batch axis
+        rides along the local FFTs (feeds ``gmres_batched`` together with
+        the pipelined sharded sweep preconditioner: the composed
+        multi-chip solve)."""
+        R = b.shape[0]
+        me, ne = self.symbol.shape
+        ext = jnp.zeros((R, me, ne), dtype=self.symbol.dtype)
+        ext = ext.at[:, : self.m, : self.n].set(
+            b.reshape(R, self.m, self.n).astype(self.symbol.dtype)
+        )
+        ext = jax.lax.with_sharding_constraint(
+            ext, NamedSharding(self.mesh, P(None, self.axis, None))
+        )
+        out = jax.shard_map(
+            lambda s, x: _convolve_2d_batch_local(s, x, self.axis),
+            mesh=self.mesh,
+            in_specs=(P(None, self.axis), P(None, self.axis, None)),
+            out_specs=P(None, self.axis, None),
+            check_vma=False,
+        )(self.symbol, ext)
+        return out[:, : self.m, : self.n].reshape(b.shape)
+
+    def apply_batch(self, u: jnp.ndarray) -> jnp.ndarray:
+        """(R, m*n) batched operator apply."""
+        scaled = (
+            self.nu.reshape(1, -1) * u.reshape(u.shape[0], -1)
+        ).astype(self.symbol.dtype)
+        return u + (self.omega ** 2) * self.convolve_batch(
+            scaled
+        ).reshape(u.shape)
 
     def __call__(self, u):
         return self.apply(u)
