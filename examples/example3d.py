@@ -23,6 +23,10 @@ def main():
                     help="'gs' = 3D z-slab sweep (beyond the reference)")
     ap.add_argument("--subs", type=int, default=4)
     ap.add_argument("--npml", type=int, default=5)
+    ap.add_argument("--pivot-dtype", default="full",
+                    choices=["full", "bf16", "yblock", "yblock_bf16"],
+                    help="3D plane-pivot storage (yblock_bf16 = the "
+                    "96^3-on-one-chip memory layout)")
     ap.add_argument("--cache-dir", default=None,
                     help="persist/reuse stencil fields (skips sampling)")
     ap.add_argument("--cpu", action="store_true")
@@ -46,7 +50,8 @@ def main():
     with timer.phase("setup"):
         problem = bump3d.build_problem(
             h=1.0 / args.n, dtype=dtype, precond=args.precond,
-            n_subdomains=args.subs, npml=args.npml, cache_dir=args.cache_dir,
+            n_subdomains=args.subs, npml=args.npml,
+            pivot_dtype=args.pivot_dtype, cache_dir=args.cache_dir,
         )
         pc = problem.precond
         cinv = pc.factorization.cinv if hasattr(pc, "factorization") else pc.slabs.fac.cinv

@@ -45,6 +45,7 @@ def build_problem(
     precond: str = "sparsifying",
     n_subdomains: int = 4,
     npml: int = 5,
+    pivot_dtype: str = "full",
     cache_dir: str | None = None,
 ) -> Bump3DProblem:
     """``precond``: 'sparsifying' (full-grid factorization, reference
@@ -71,7 +72,8 @@ def build_problem(
             )
 
             slabs = build_slab_system_3d(
-                a_st, ag_st, nu, grid.x, h, k, n_subdomains, npml=npml
+                a_st, ag_st, nu, grid.x, h, k, n_subdomains, npml=npml,
+                pivot_dtype=pivot_dtype, cache_dir=cache_dir,
             )
             pc = SingleSweepPreconditioner3D(slabs=slabs, a_s=a_st)
         else:
