@@ -298,6 +298,12 @@ def sample_g_columns(op, indices: np.ndarray, chunk: int = 64) -> jnp.ndarray:
     Returns (len(indices), op.size).
     """
     indices = np.asarray(indices, dtype=np.int64)
+    # bound the in-flight extended-grid intermediates (~3 live copies per
+    # impulse under the vmapped convolve) to ~8 GB: at 3D scale a fixed
+    # chunk of 64 puts 64 x |ext|^3 complex buffers in HBM at once
+    # (measured OOM at 96^3 / ext 256^3 on a 16 GB chip)
+    ext_bytes = int(np.prod(op.symbol.shape)) * op.symbol.dtype.itemsize
+    chunk = max(1, min(chunk, int(8e9 // max(3 * ext_bytes, 1))))
     if indices.shape[0] <= chunk:
         return _sample_g_columns_jit(op, jnp.asarray(indices))
     n_chunks = -(-indices.shape[0] // chunk)

@@ -159,10 +159,17 @@ def _sampler_conv(op):
         # tunnel-safe fetch: slabs of <= ~24 MB complex64 per transfer
         per = max(1, int(3_000_000 // max(size, 1)))
         if c <= per:
-            return fetch(rows).astype(np.complex128)
-        out = np.empty((c, size), dtype=np.complex128)
-        for i0 in range(0, c, per):
-            out[i0 : i0 + per] = fetch(rows[i0 : i0 + per])
+            out = fetch(rows).astype(np.complex128)
+        else:
+            out = np.empty((c, size), dtype=np.complex128)
+            for i0 in range(0, c, per):
+                out[i0 : i0 + per] = fetch(rows[i0 : i0 + per])
+        # free the device rows eagerly: at 3D scale they are multi-GB and
+        # the slab factorization that follows needs the whole chip
+        try:
+            rows.delete()
+        except Exception:  # noqa: BLE001 — backend without delete support
+            pass
         return out
 
     return sample

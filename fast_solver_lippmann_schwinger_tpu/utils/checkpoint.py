@@ -33,6 +33,8 @@ def _host_leaf(leaf) -> np.ndarray:
     """
     from fast_solver_lippmann_schwinger_tpu.utils.host import fetch
 
+    if isinstance(leaf, np.ndarray):    # already host-side: no device trip
+        return leaf
     leaf = jnp.asarray(leaf)
     if leaf.dtype == jnp.bfloat16:
         leaf = leaf.astype(jnp.float32)
