@@ -24,7 +24,7 @@ def main():
     ap.add_argument("--subs", type=int, default=4)
     ap.add_argument("--npml", type=int, default=5)
     ap.add_argument("--pivot-dtype", default="full",
-                    choices=["full", "bf16", "yblock", "yblock_bf16"],
+                    choices=["full", "bf16", "yblock", "yblock_bf16", "yblock_int8"],
                     help="3D plane-pivot storage (yblock_bf16 = the "
                     "96^3-on-one-chip memory layout)")
     ap.add_argument("--cache-dir", default=None,

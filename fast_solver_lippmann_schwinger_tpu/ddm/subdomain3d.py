@@ -129,7 +129,8 @@ def build_slab_system_3d(
 ) -> SlabSystem3D:
     """Construct and factor all z-slabs (3D analog of ``build_slab_system``).
 
-    ``pivot_dtype`` in {"full", "bf16", "yblock", "yblock_bf16"} selects
+    ``pivot_dtype`` in {"full", "bf16", "yblock", "yblock_bf16",
+    "yblock_int8"} selects
     plane-pivot storage and block axis (``sparse/direct.py``): the dense
     (mn, mn) z-plane pivot inverses are the 3D memory wall; ``bf16`` halves
     them, and the ``yblock`` layouts factor each slab over y-planes instead
@@ -256,7 +257,8 @@ def build_slab_system_3d(
     h_dev = to_device_complex(h_sten, dtype)
     layout = "y" if pivot_dtype.startswith("yblock") else "z"
     storage = (
-        "bf16" if pivot_dtype in ("bf16", "yblock_bf16") else "full"
+        "bf16" if pivot_dtype in ("bf16", "yblock_bf16")
+        else "int8" if pivot_dtype == "yblock_int8" else "full"
     )
 
     def _factor(v):

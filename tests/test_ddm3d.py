@@ -85,7 +85,7 @@ def test_end_to_end_3d_sweep_solve(setup_3d):
     assert np.linalg.norm(resid) / np.linalg.norm(np.asarray(rhs)) < 1e-6
 
 
-@pytest.mark.parametrize("pivot_dtype", ["bf16", "yblock", "yblock_bf16"])
+@pytest.mark.parametrize("pivot_dtype", ["bf16", "yblock", "yblock_bf16", "yblock_int8"])
 def test_compressed_pivots_preserve_preconditioner(setup_3d, pivot_dtype):
     """Memory-wall pivot modes must preserve sweep-preconditioner quality:
     bf16 z-plane pivots (2x memory cut, ~3-digit pivots) and the y-blocked
@@ -100,7 +100,7 @@ def test_compressed_pivots_preserve_preconditioner(setup_3d, pivot_dtype):
     slabs_c = build_slab_system_3d(
         a_st, ag_st, nu, x, h, K, n_subs=2, npml=5,
         pivot_dtype=pivot_dtype,
-    )
+    )  # int8 = per-row-scaled quantized pivots (the 96^3 one-chip mode)
     rng = np.random.default_rng(0)
     b = jnp.asarray(rng.standard_normal(NN ** 3) + 1j * rng.standard_normal(NN ** 3))
     pre = GSPreconditioner3D(slabs=slabs_c)
