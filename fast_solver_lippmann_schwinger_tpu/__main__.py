@@ -30,7 +30,7 @@ def main(argv=None):
     ap.add_argument("--precond", choices=[
         "sparsifying", "gs", "double_sweep", "polarized_traces", "none",
     ])
-    ap.add_argument("--pivot-dtype", choices=["full", "bf16", "banded", "pallas"])
+    ap.add_argument("--pivot-dtype", choices=["full", "bf16", "banded", "pallas", "pallas_int8"])
     ap.add_argument("--pivot-band", type=int,
                     help="band width for --pivot-dtype banded")
     ap.add_argument("--subs", type=int, help="number of DDM slabs")

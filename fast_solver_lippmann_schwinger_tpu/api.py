@@ -109,7 +109,8 @@ def build_problem(cfg: ProblemConfig) -> Problem:
                 cfg.ddm.n_subdomains, npml=cfg.ddm.npml,
                 shift_factor=cfg.ddm.shift_factor,
                 pivot_dtype=(cfg.pivot_dtype
-                             if cfg.pivot_dtype != "pallas" else "full"),
+                             if not cfg.pivot_dtype.startswith("pallas")
+                             else "full"),
                 cache_dir=cfg.cache_dir,
             )
             if cfg.precond == "gs":

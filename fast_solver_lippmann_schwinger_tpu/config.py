@@ -75,7 +75,8 @@ class ProblemConfig:
                                        # (TPU fast path), False = 5-smooth,
                                        # None = sniff the current backend
     precond: str = "sparsifying"
-    pivot_dtype: str = "full"          # full | bf16 | banded | pallas (DDM pivots)
+    pivot_dtype: str = "full"          # full | bf16 | banded | pallas |
+                                       # pallas_int8 (DDM pivot storage)
     pivot_band: int | None = None      # band width for pivot_dtype="banded"
     cache_dir: str | None = None       # checkpoint dir for expensive setup
                                        # artifacts (GFFT symbol, stencil

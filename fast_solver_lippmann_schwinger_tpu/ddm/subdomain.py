@@ -140,12 +140,15 @@ class SlabSystem:
     pfac: object = None
 
 
-def attach_pallas(slabs: SlabSystem) -> SlabSystem:
+def attach_pallas(slabs: SlabSystem, storage: str = "bf16") -> SlabSystem:
     """Return a copy of ``slabs`` with the fused-Pallas solve layout attached
-    (sweeps then dispatch to ``sparse/pallas_thomas.py`` kernels)."""
+    (sweeps then dispatch to ``sparse/pallas_thomas.py`` kernels).
+    ``storage``: "bf16" or "int8" (half the pivot bytes; see pallas_thomas)."""
     from fast_solver_lippmann_schwinger_tpu.sparse import pallas_thomas as pt
 
-    return slabs.replace(pfac=pt.build_pallas_factorization(slabs.fac))
+    return slabs.replace(
+        pfac=pt.build_pallas_factorization(slabs.fac, storage=storage)
+    )
 
 
 def build_slab_system(
@@ -303,14 +306,16 @@ def build_slab_system(
 
     def _factor(v):
         """(fac, pfac) for the requested pivot mode — the expensive step."""
-        if pivot_dtype == "pallas":
-            # fused-Pallas sweep path: store ONLY the padded/transposed bf16
-            # layout (sparse/pallas_thomas.py); the XLA-side fac keeps the
-            # bands (cheap) with a placeholder pivot stack so shape metadata
-            # and non-sweep consumers of the bands still work
+        if pivot_dtype in ("pallas", "pallas_int8"):
+            # fused-Pallas sweep path: store ONLY the padded/transposed
+            # bf16/int8 layout (sparse/pallas_thomas.py); the XLA-side fac
+            # keeps the bands (cheap) with a placeholder pivot stack so
+            # shape metadata and non-sweep consumers of the bands still work
             from fast_solver_lippmann_schwinger_tpu.sparse import (
                 pallas_thomas as pt,
             )
+
+            storage = "int8" if pivot_dtype == "pallas_int8" else "bf16"
 
             @jax.jit
             def _factor_pallas(vv):
@@ -318,7 +323,7 @@ def build_slab_system(
                     lambda w: factor_stencil_2d(StencilMatrix2D(values=w))
                 )(vv)
                 return (
-                    pt.build_pallas_factorization(fac_full),
+                    pt.build_pallas_factorization(fac_full, storage=storage),
                     fac_full.lband,
                     fac_full.uband,
                 )

@@ -52,10 +52,14 @@ class PallasFactorization:
     line length; padding rows/columns are zero so carries stay zero there.
     """
 
-    cinv_t_re: jnp.ndarray   # (S, m, np, np) bf16, TRANSPOSED pivot inverses
-    cinv_t_im: jnp.ndarray   # (S, m, np, np) bf16
+    cinv_t_re: jnp.ndarray   # (S, m, np, np) bf16 or int8, TRANSPOSED
+    cinv_t_im: jnp.ndarray   # (S, m, np, np)   pivot inverses
     lband: jnp.ndarray       # (S, m, 2, 3, np) f32 [re, im]
     uband: jnp.ndarray       # (S, m, 2, 3, np) f32
+    # per-output-lane dequantization scales [re, im] — all-ones for bf16
+    # storage; row-absmax/127 for int8 (HALF the HBM per solve, the sweep's
+    # entire byte budget)
+    scale: jnp.ndarray       # (S, m, 2, np) f32
     n: int = struct.field(pytree_node=False)      # true line length
 
     @property
@@ -71,10 +75,17 @@ class PallasFactorization:
         return self.cinv_t_re.shape[2]
 
 
-def build_pallas_factorization(fac, batched: bool = True) -> PallasFactorization:
+def build_pallas_factorization(fac, batched: bool = True,
+                               storage: str = "bf16") -> PallasFactorization:
     """Convert a (batched) ``BlockTridiagFactorization`` (full-precision
     pivots) or ``BlockTridiagFactorizationBF16`` to the padded, transposed
-    bf16 Pallas layout."""
+    Pallas layout.
+
+    ``storage``: "bf16" (unit scales) or "int8" (per-output-lane absmax
+    quantization — half the pivot bytes; ~7 effective mantissa bits with
+    the f32 lane scale vs bf16's 8, preconditioner-quality-neutral, see
+    tests).
+    """
     if hasattr(fac, "cinv_re"):
         cre_raw, cim_raw = fac.cinv_re, fac.cinv_im
     else:
@@ -88,16 +99,38 @@ def build_pallas_factorization(fac, batched: bool = True) -> PallasFactorization
         npad = _round_up(n, 128)
         cinv_t = jnp.swapaxes(cinv, -1, -2)
         pad_nn = [(0, 0), (0, 0), (0, npad - n), (0, npad - n)]
-        cre = jnp.pad(jnp.real(cinv_t), pad_nn).astype(jnp.bfloat16)
-        cim = jnp.pad(jnp.imag(cinv_t), pad_nn).astype(jnp.bfloat16)
+        cre = jnp.pad(jnp.real(cinv_t).astype(jnp.float32), pad_nn)
+        cim = jnp.pad(jnp.imag(cinv_t).astype(jnp.float32), pad_nn)
     else:
         if not batched:
             cre_raw, cim_raw = cre_raw[None], cim_raw[None]
         S, m, n = cre_raw.shape[0], cre_raw.shape[1], cre_raw.shape[2]
         npad = _round_up(n, 128)
         pad_nn = [(0, 0), (0, 0), (0, npad - n), (0, npad - n)]
-        cre = jnp.pad(jnp.swapaxes(cre_raw, -1, -2), pad_nn)
-        cim = jnp.pad(jnp.swapaxes(cim_raw, -1, -2), pad_nn)
+        cre = jnp.pad(
+            jnp.swapaxes(cre_raw, -1, -2).astype(jnp.float32), pad_nn
+        )
+        cim = jnp.pad(
+            jnp.swapaxes(cim_raw, -1, -2).astype(jnp.float32), pad_nn
+        )
+
+    if storage == "int8":
+        # per-output-lane (= second axis of the transposed planes) scales
+        def quant(c):
+            absmax = jnp.max(jnp.abs(c), axis=2)              # (S, m, np)
+            s = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+            q = jnp.clip(
+                jnp.round(c / s[:, :, None, :]), -127, 127
+            ).astype(jnp.int8)
+            return q, s.astype(jnp.float32)
+
+        cre, sre = quant(cre)
+        cim, sim = quant(cim)
+        scale = jnp.stack([sre, sim], axis=2)                 # (S, m, 2, np)
+    else:
+        cre = cre.astype(jnp.bfloat16)
+        cim = cim.astype(jnp.bfloat16)
+        scale = jnp.ones((S, m, 2, npad), jnp.float32)
 
     def band_pack(band):
         # (S, m, n, 3) complex -> (S, m, 2, 3, np) f32
@@ -110,7 +143,7 @@ def build_pallas_factorization(fac, batched: bool = True) -> PallasFactorization
 
     return PallasFactorization(
         cinv_t_re=cre, cinv_t_im=cim,
-        lband=band_pack(lband), uband=band_pack(uband), n=n,
+        lband=band_pack(lband), uband=band_pack(uband), scale=scale, n=n,
     )
 
 
@@ -142,18 +175,24 @@ def _band_apply(band, t):
     return accr, acci
 
 
-def _pivot_dot(y2, cre_ref, cim_ref):
-    """[yr; yi] @ Cinv^T for bf16 transposed planes; f32 accumulation."""
+def _pivot_dot(y2, cre_ref, cim_ref, sc_ref):
+    """[yr; yi] @ Cinv^T for bf16/int8 transposed planes; f32 accumulation.
+    ``sc_ref`` carries the per-output-lane [re, im] dequantization scales
+    (all-ones for bf16 storage)."""
     cre = cre_ref[0, 0].astype(jnp.float32)
     cim = cim_ref[0, 0].astype(jnp.float32)
     zr = jnp.dot(y2, cre, preferred_element_type=jnp.float32)
     zi = jnp.dot(y2, cim, preferred_element_type=jnp.float32)
+    sre = sc_ref[0, 0, 0]
+    sim = sc_ref[0, 0, 1]
+    zr = zr * sre[None, :]
+    zi = zi * sim[None, :]
     tr = zr[0] - zi[1]
     ti = zr[1] + zi[0]
     return tr, ti
 
 
-def _fwd_kernel(s_ref, b_ref, lb_ref, cre_ref, cim_ref, tinit_ref,
+def _fwd_kernel(s_ref, b_ref, lb_ref, cre_ref, cim_ref, sc_ref, tinit_ref,
                 y_ref, t_ref, tprev):
     j = pl.program_id(0)
 
@@ -166,14 +205,14 @@ def _fwd_kernel(s_ref, b_ref, lb_ref, cre_ref, cim_ref, tinit_ref,
     yi = b_ref[0, 1] - acci
     y_ref[0, 0] = yr
     y_ref[0, 1] = yi
-    tr, ti = _pivot_dot(jnp.stack([yr, yi]), cre_ref, cim_ref)
+    tr, ti = _pivot_dot(jnp.stack([yr, yi]), cre_ref, cim_ref, sc_ref)
     tprev[0] = tr
     tprev[1] = ti
     t_ref[0, 0] = tr
     t_ref[0, 1] = ti
 
 
-def _bwd_kernel(s_ref, y_ref, ub_ref, cre_ref, cim_ref, x_ref, xnext):
+def _bwd_kernel(s_ref, y_ref, ub_ref, cre_ref, cim_ref, sc_ref, x_ref, xnext):
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -183,7 +222,7 @@ def _bwd_kernel(s_ref, y_ref, ub_ref, cre_ref, cim_ref, x_ref, xnext):
     accr, acci = _band_apply(ub_ref[0, 0], xnext[...])
     wr = y_ref[0, 0] - accr
     wi = y_ref[0, 1] - acci
-    xr, xi = _pivot_dot(jnp.stack([wr, wi]), cre_ref, cim_ref)
+    xr, xi = _pivot_dot(jnp.stack([wr, wi]), cre_ref, cim_ref, sc_ref)
     xnext[0] = xr
     xnext[1] = xi
     x_ref[0, 0] = xr
@@ -209,6 +248,8 @@ def _fwd(fac: PallasFactorization, s_idx, b2, t_init, start: int = 0,
                          lambda j, s: (s[0], start + j, 0, 0)),
             pl.BlockSpec((1, 1, npad, npad),
                          lambda j, s: (s[0], start + j, 0, 0)),
+            pl.BlockSpec((1, 1, 2, npad),
+                         lambda j, s: (s[0], start + j, 0, 0)),
             pl.BlockSpec((2, npad), lambda j, s: (0, 0)),
         ],
         out_specs=[
@@ -225,7 +266,7 @@ def _fwd(fac: PallasFactorization, s_idx, b2, t_init, start: int = 0,
         ],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(s_idx, b2, fac.lband, fac.cinv_t_re, fac.cinv_t_im, t_init)
+    )(s_idx, b2, fac.lband, fac.cinv_t_re, fac.cinv_t_im, fac.scale, t_init)
 
 
 @functools.partial(jax.jit, static_argnames=("tail", "interpret"))
@@ -248,6 +289,8 @@ def _bwd(fac: PallasFactorization, s_idx, y2, tail: int = 0,
                          lambda j, s: (s[0], m - 1 - j, 0, 0)),
             pl.BlockSpec((1, 1, npad, npad),
                          lambda j, s: (s[0], m - 1 - j, 0, 0)),
+            pl.BlockSpec((1, 1, 2, npad),
+                         lambda j, s: (s[0], m - 1 - j, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 2, npad), lambda j, s: (m_eff - 1 - j, 0, 0)),
@@ -259,7 +302,7 @@ def _bwd(fac: PallasFactorization, s_idx, y2, tail: int = 0,
         out_shape=[jax.ShapeDtypeStruct((m_eff, 2, npad), jnp.float32)],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(s_idx, y2, fac.uband, fac.cinv_t_re, fac.cinv_t_im)
+    )(s_idx, y2, fac.uband, fac.cinv_t_re, fac.cinv_t_im, fac.scale)
     return x2
 
 
@@ -384,19 +427,23 @@ def _band_apply_multi(band, t):
     return accr, acci
 
 
-def _pivot_dot_multi(y, cre_ref, cim_ref):
-    """[Yr; Yi] @ Cinv^T for (2r, np) stacked rows; f32 accumulation."""
+def _pivot_dot_multi(y, cre_ref, cim_ref, sc_ref):
+    """[Yr; Yi] @ Cinv^T for (2r, np) stacked rows; f32 accumulation, with
+    per-output-lane [re, im] dequantization scales (ones for bf16)."""
     cre = cre_ref[0, 0].astype(jnp.float32)
     cim = cim_ref[0, 0].astype(jnp.float32)
     z1 = jnp.dot(y, cre, preferred_element_type=jnp.float32)
     z2 = jnp.dot(y, cim, preferred_element_type=jnp.float32)
+    z1 = z1 * sc_ref[0, 0, 0][None, :]
+    z2 = z2 * sc_ref[0, 0, 1][None, :]
     r = y.shape[0] // 2
     tr = z1[:r] - z2[r:]
     ti = z1[r:] + z2[:r]
     return jnp.concatenate([tr, ti], axis=0)
 
 
-def _fwd_kernel_b(s_ref, b_ref, lb_ref, cre_ref, cim_ref, y_ref, tprev):
+def _fwd_kernel_b(s_ref, b_ref, lb_ref, cre_ref, cim_ref, sc_ref, y_ref,
+                  tprev):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -408,10 +455,11 @@ def _fwd_kernel_b(s_ref, b_ref, lb_ref, cre_ref, cim_ref, y_ref, tprev):
     b = b_ref[0, 0]
     y = jnp.concatenate([b[:r] - accr, b[r:] - acci], axis=0)
     y_ref[0, 0] = y
-    tprev[...] = _pivot_dot_multi(y, cre_ref, cim_ref)
+    tprev[...] = _pivot_dot_multi(y, cre_ref, cim_ref, sc_ref)
 
 
-def _bwd_kernel_b(s_ref, y_ref, ub_ref, cre_ref, cim_ref, x_ref, xnext):
+def _bwd_kernel_b(s_ref, y_ref, ub_ref, cre_ref, cim_ref, sc_ref, x_ref,
+                  xnext):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -422,7 +470,7 @@ def _bwd_kernel_b(s_ref, y_ref, ub_ref, cre_ref, cim_ref, x_ref, xnext):
     accr, acci = _band_apply_multi(ub_ref[0, 0], xnext[...])
     y = y_ref[0, 0]
     w = jnp.concatenate([y[:r] - accr, y[r:] - acci], axis=0)
-    xn = _pivot_dot_multi(w, cre_ref, cim_ref)
+    xn = _pivot_dot_multi(w, cre_ref, cim_ref, sc_ref)
     xnext[...] = xn
     x_ref[0, 0] = xn
 
@@ -447,6 +495,8 @@ def _fwd_b(fac: PallasFactorization, s_idx, b4, start: int = 0,
                          lambda i, j, s: (s[i], start + j, 0, 0)),
             pl.BlockSpec((1, 1, npad, npad),
                          lambda i, j, s: (s[i], start + j, 0, 0)),
+            pl.BlockSpec((1, 1, 2, npad),
+                         lambda i, j, s: (s[i], start + j, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, r2, npad), lambda i, j, s: (i, j, 0, 0)),
@@ -458,7 +508,7 @@ def _fwd_b(fac: PallasFactorization, s_idx, b4, start: int = 0,
         out_shape=[jax.ShapeDtypeStruct((S, m_eff, r2, npad), jnp.float32)],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(s_idx, b4, fac.lband, fac.cinv_t_re, fac.cinv_t_im)
+    )(s_idx, b4, fac.lband, fac.cinv_t_re, fac.cinv_t_im, fac.scale)
     return y4
 
 
@@ -482,6 +532,8 @@ def _bwd_b(fac: PallasFactorization, s_idx, y4, tail: int = 0,
                          lambda i, j, s: (s[i], m - 1 - j, 0, 0)),
             pl.BlockSpec((1, 1, npad, npad),
                          lambda i, j, s: (s[i], m - 1 - j, 0, 0)),
+            pl.BlockSpec((1, 1, 2, npad),
+                         lambda i, j, s: (s[i], m - 1 - j, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, r2, npad),
@@ -494,7 +546,7 @@ def _bwd_b(fac: PallasFactorization, s_idx, y4, tail: int = 0,
         out_shape=[jax.ShapeDtypeStruct((S, m_eff, r2, npad), jnp.float32)],
         grid_spec=grid_spec,
         interpret=interpret,
-    )(s_idx, y4, fac.uband, fac.cinv_t_re, fac.cinv_t_im)
+    )(s_idx, y4, fac.uband, fac.cinv_t_re, fac.cinv_t_im, fac.scale)
     return x4
 
 

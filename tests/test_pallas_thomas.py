@@ -58,6 +58,68 @@ def test_solve_and_slab_select(setup):
         assert _relerr(got, ref) < TOL
 
 
+def test_int8_storage_solve(setup):
+    """int8 per-lane-scaled pivots solve to bf16-comparable accuracy and
+    halve the pivot bytes."""
+    fac_bf, pfac, b = setup
+    pfac8 = pt.build_pallas_factorization(fac_bf, storage="int8")
+    assert pfac8.cinv_t_re.dtype == jnp.int8
+    assert pfac8.cinv_t_re.nbytes == pfac.cinv_t_re.nbytes // 2
+    # int8 absolute error is ~0.6% of each output row's max (vs bf16's
+    # ~0.04% per entry): fine for a PRECONDITIONER (quality gated by the
+    # sweep-convergence test below), loose for a raw solve
+    for s in (0, 1):
+        ref = block_thomas_solve(_fac_at(fac_bf, s), b)
+        got = pt.solve(pfac8, s, b)
+        assert _relerr(got, ref) < 2e-2
+    # batched multi-RHS path
+    b2 = jnp.stack([b, 1j * b])                        # (S=2, M, N)
+    ref2 = jnp.stack([
+        block_thomas_solve(_fac_at(fac_bf, s), b2[s]) for s in (0, 1)
+    ])
+    got2 = pt.solve_all(pfac8, jnp.arange(2), b2)
+    assert _relerr(got2, ref2) < 2e-2
+
+
+def test_int8_sweep_preconditions():
+    """pivot_dtype="pallas_int8" slab systems precondition GMRES with the
+    same budget as bf16 (the quality gate for the int8 storage)."""
+    from fast_solver_lippmann_schwinger_tpu.core.grids import Grid2D
+    from fast_solver_lippmann_schwinger_tpu.ddm.subdomain import (
+        build_slab_system,
+    )
+    from fast_solver_lippmann_schwinger_tpu.ddm.sweeps import gs_sweep
+    from fast_solver_lippmann_schwinger_tpu.models import media
+    from fast_solver_lippmann_schwinger_tpu.solver.gmres import gmres
+    from fast_solver_lippmann_schwinger_tpu.sparse import stencils
+
+    grid = Grid2D(a=1.0, h=1.0 / 36.0)
+    k = 1.0 / grid.h
+    X, Y = grid.mesh()
+    nu = media.gaussian_bump_2d(X, Y)
+    a_st, ag_st = stencils.build_sparse_a_ag_2d(
+        k, grid.x, grid.y, grid.h, dtype=jnp.complex64
+    )
+    msp = stencils.build_msp_2d(a_st, ag_st, nu, k)
+    slabs = build_slab_system(
+        a_st, ag_st, nu, grid.x, grid.y, grid.h, k, 3, npml=6,
+        pivot_dtype="pallas_int8",
+    )
+    assert slabs.pfac.cinv_t_re.dtype == jnp.int8
+    rng = np.random.default_rng(1)
+    b = jnp.asarray(
+        (rng.standard_normal(grid.size) + 1j * rng.standard_normal(grid.size))
+        .astype(np.complex64)
+    )
+    x, info = gmres(msp.matvec, b, preconditioner=lambda v: gs_sweep(slabs, v),
+                    rtol=1e-5, restart=20, maxiter=120)
+    assert bool(info.converged)
+    res = np.linalg.norm(np.asarray(msp.matvec(x) - b)) / np.linalg.norm(
+        np.asarray(b)
+    )
+    assert res < 1e-3
+
+
 def test_tail(setup):
     fac_bf, pfac, b = setup
     ref = block_thomas_solve_tail(_fac_at(fac_bf, 0), b, 4)
