@@ -54,8 +54,8 @@ def main():
             pivot_dtype=args.pivot_dtype, cache_dir=args.cache_dir,
         )
         pc = problem.precond
-        cinv = pc.factorization.cinv if hasattr(pc, "factorization") else pc.slabs.fac.cinv
-        jax.block_until_ready(cinv)
+        fac = pc.factorization if hasattr(pc, "factorization") else pc.slabs.fac
+        jax.block_until_ready(jax.tree_util.tree_leaves(fac)[0])
     with timer.phase("solve"):
         u, info = bump3d.solve(problem)
         # host fetch inside the timer: on the tunnel backend
