@@ -31,6 +31,8 @@ def main():
                     help="persist/reuse stencil fields (skips sampling)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--x64", action="store_true")
+    ap.add_argument("--rtol", type=float, default=1e-8)
+    ap.add_argument("--maxiter", type=int, default=100)
     args = ap.parse_args()
 
     import jax
@@ -57,7 +59,7 @@ def main():
         fac = pc.factorization if hasattr(pc, "factorization") else pc.slabs.fac
         jax.block_until_ready(jax.tree_util.tree_leaves(fac)[0])
     with timer.phase("solve"):
-        u, info = bump3d.solve(problem)
+        u, info = bump3d.solve(problem, rtol=args.rtol, maxiter=args.maxiter)
         # host fetch inside the timer: on the tunnel backend
         # block_until_ready() gates only on dispatch, not execution
         res = fetch(info.residuals)

@@ -293,10 +293,16 @@ def build_slab_system_3d(
             dtype=str(dtype),
         )
         cache_path = os.path.join(cache_dir, f"slabfac3d_{key}.npz")
-        template = jax.eval_shape(jax.vmap(_factor), h_dev)
+        template = jax.eval_shape(
+            lambda v: jax.lax.map(_factor, v), h_dev
+        )
         fac = checkpoint.load_arrays(cache_path, like=template)
     if fac is None:
-        fac = jax.jit(jax.vmap(_factor))(h_dev)
+        # slabs factor SEQUENTIALLY (lax.map, not vmap): each plane
+        # inversion already fills the MXU, and vmap would multiply the
+        # full-precision (l1 n)^2 factorization temporaries by S — at 96^3
+        # that is the difference between fitting and OOM
+        fac = jax.jit(lambda v: jax.lax.map(_factor, v))(h_dev)
         if cache_path is not None and jax.default_backend() == "cpu":
             from fast_solver_lippmann_schwinger_tpu.utils import checkpoint
 

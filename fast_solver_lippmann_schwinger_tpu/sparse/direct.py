@@ -142,20 +142,33 @@ def _pivot_apply(fac_slice, y):
     if hasattr(fac_slice, "band_re"):
         return _banded_pivot_apply(fac_slice, y)
     if hasattr(fac_slice, "q_re"):
-        # int8 rows x f32 columns; row scales applied to the products
-        # (S Q) y == S (Q y) — only the int8 planes stream from HBM
+        # int8 rows x f32 columns with per-(row, col-block) scales: the
+        # contraction splits into nb partial products, each scaled before
+        # accumulation — only the int8 planes stream from HBM
         n = y.shape[0]
+        nb = fac_slice.s_re.shape[-1]
+        pad = nb * _INT8_BLOCK - n
         ys = jnp.stack(
             [jnp.real(y).astype(jnp.float32), jnp.imag(y).astype(jnp.float32)],
             axis=-1,
         )
-        flat = ys.reshape(n, -1)
-        zre = (
-            fac_slice.q_re.astype(jnp.float32) @ flat
-        ) * fac_slice.s_re[:, None]
-        zim = (
-            fac_slice.q_im.astype(jnp.float32) @ flat
-        ) * fac_slice.s_im[:, None]
+        flat = jnp.pad(ys.reshape(n, -1), [(0, pad), (0, 0)])
+        flat_b = flat.reshape(nb, _INT8_BLOCK, -1)
+        q_re = jnp.pad(fac_slice.q_re, [(0, 0), (0, pad)]).reshape(
+            n, nb, _INT8_BLOCK
+        )
+        q_im = jnp.pad(fac_slice.q_im, [(0, 0), (0, pad)]).reshape(
+            n, nb, _INT8_BLOCK
+        )
+        # (n, nb, B) x (nb, B, r) -> (n, nb, r), scaled per (n, nb), summed
+        zre = jnp.einsum(
+            "rbk,bkc,rb->rc", q_re.astype(jnp.float32), flat_b,
+            fac_slice.s_re,
+        )
+        zim = jnp.einsum(
+            "rbk,bkc,rb->rc", q_im.astype(jnp.float32), flat_b,
+            fac_slice.s_im,
+        )
         zre = zre.reshape(ys.shape)
         zim = zim.reshape(ys.shape)
         out_r = zre[..., 0] - zim[..., 1]
@@ -467,17 +480,32 @@ class BlockTridiagFactorization3DInt8:
 
     q_re: jnp.ndarray      # (l, mn, mn) int8
     q_im: jnp.ndarray      # (l, mn, mn) int8
-    s_re: jnp.ndarray      # (l, mn) float32 per-row scales
-    s_im: jnp.ndarray      # (l, mn) float32
+    s_re: jnp.ndarray      # (l, mn, nb) float32 per-(row, col-block) scales
+    s_im: jnp.ndarray      # (l, mn, nb) float32
     lsten: jnp.ndarray     # (l, m, n, 3, 3)
     usten: jnp.ndarray     # (l, m, n, 3, 3)
 
 
+_INT8_BLOCK = 128
+
+
 def _quantize_rows_int8(a):
-    """f32 (rows, cols) -> (int8 rows, f32 row scales)."""
-    absmax = jnp.max(jnp.abs(a), axis=1)
+    """f32 (rows, cols) -> (int8 rows, f32 (rows, nb) per-col-block scales).
+
+    One scale per whole row loses the rows' decay structure (measured to
+    wreck preconditioner quality at scale); 128-column blocks track it.
+    ``cols`` is padded up to a block multiple for the scale computation and
+    the quantized matrix keeps the original width.
+    """
+    rows, cols = a.shape
+    nb = -(-cols // _INT8_BLOCK)
+    pad = nb * _INT8_BLOCK - cols
+    ab = jnp.pad(a, [(0, 0), (0, pad)]).reshape(rows, nb, _INT8_BLOCK)
+    absmax = jnp.max(jnp.abs(ab), axis=2)                 # (rows, nb)
     scale = jnp.where(absmax > 0, absmax / 127.0, 1.0).astype(jnp.float32)
-    q = jnp.clip(jnp.round(a / scale[:, None]), -127, 127).astype(jnp.int8)
+    q = jnp.clip(
+        jnp.round(ab / scale[:, :, None]), -127, 127
+    ).astype(jnp.int8).reshape(rows, nb * _INT8_BLOCK)[:, :cols]
     return q, scale
 
 

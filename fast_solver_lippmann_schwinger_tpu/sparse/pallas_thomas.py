@@ -56,10 +56,13 @@ class PallasFactorization:
     cinv_t_im: jnp.ndarray   # (S, m, np, np)   pivot inverses
     lband: jnp.ndarray       # (S, m, 2, 3, np) f32 [re, im]
     uband: jnp.ndarray       # (S, m, 2, 3, np) f32
-    # per-output-lane dequantization scales [re, im] — all-ones for bf16
-    # storage; row-absmax/127 for int8 (HALF the HBM per solve, the sweep's
-    # entire byte budget)
-    scale: jnp.ndarray       # (S, m, 2, np) f32
+    # per-(input-block, output-lane) dequantization scales [re, im] —
+    # all-ones (nb=1) for bf16 storage; block-absmax/127 for int8 (HALF the
+    # HBM per solve, the sweep's entire byte budget).  Blocks of 128 input
+    # lanes: one scale per whole row loses the rows' diagonal decay and was
+    # measured to inflate 801-scale GMRES from 6 to 38 iterations; per-block
+    # scales track the decay.
+    scale: jnp.ndarray       # (S, m, 2, nb, np) f32
     n: int = struct.field(pytree_node=False)      # true line length
 
     @property
@@ -115,22 +118,26 @@ def build_pallas_factorization(fac, batched: bool = True,
         )
 
     if storage == "int8":
-        # per-output-lane (= second axis of the transposed planes) scales
+        # scales per (128-wide input block, output lane): axis 2 of the
+        # transposed planes is the input (contraction) axis
+        nb = npad // 128
+
         def quant(c):
-            absmax = jnp.max(jnp.abs(c), axis=2)              # (S, m, np)
+            cb = c.reshape(S, m, nb, 128, npad)
+            absmax = jnp.max(jnp.abs(cb), axis=3)             # (S, m, nb, np)
             s = jnp.where(absmax > 0, absmax / 127.0, 1.0)
             q = jnp.clip(
-                jnp.round(c / s[:, :, None, :]), -127, 127
-            ).astype(jnp.int8)
+                jnp.round(cb / s[:, :, :, None, :]), -127, 127
+            ).astype(jnp.int8).reshape(S, m, npad, npad)
             return q, s.astype(jnp.float32)
 
         cre, sre = quant(cre)
         cim, sim = quant(cim)
-        scale = jnp.stack([sre, sim], axis=2)                 # (S, m, 2, np)
+        scale = jnp.stack([sre, sim], axis=2)             # (S, m, 2, nb, np)
     else:
         cre = cre.astype(jnp.bfloat16)
         cim = cim.astype(jnp.bfloat16)
-        scale = jnp.ones((S, m, 2, npad), jnp.float32)
+        scale = jnp.ones((S, m, 2, 1, npad), jnp.float32)
 
     def band_pack(band):
         # (S, m, n, 3) complex -> (S, m, 2, 3, np) f32
@@ -175,18 +182,37 @@ def _band_apply(band, t):
     return accr, acci
 
 
+def _scaled_dots(y, cre_ref, cim_ref, sc_ref):
+    """``(y @ Cre) , (y @ Cim)`` with per-(input-block, output-lane)
+    dequantization scales; y is (r2, np).  nb == 1 (bf16, unit scales) does
+    one full-width dot; int8 does one partial dot per 128-lane input block,
+    scaled before accumulation (error tracks each block's own magnitude)."""
+    nb = sc_ref.shape[3]
+    if nb == 1:
+        cre = cre_ref[0, 0].astype(jnp.float32)
+        cim = cim_ref[0, 0].astype(jnp.float32)
+        zr = jnp.dot(y, cre, preferred_element_type=jnp.float32)
+        zi = jnp.dot(y, cim, preferred_element_type=jnp.float32)
+        return zr * sc_ref[0, 0, 0, 0][None, :], zi * sc_ref[0, 0, 1, 0][None, :]
+    zr = jnp.zeros((y.shape[0], cre_ref.shape[3]), jnp.float32)
+    zi = jnp.zeros_like(zr)
+    for b in range(nb):
+        sl = slice(b * 128, (b + 1) * 128)
+        yb = y[:, sl]
+        zr += jnp.dot(
+            yb, cre_ref[0, 0, sl, :].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ) * sc_ref[0, 0, 0, b][None, :]
+        zi += jnp.dot(
+            yb, cim_ref[0, 0, sl, :].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ) * sc_ref[0, 0, 1, b][None, :]
+    return zr, zi
+
+
 def _pivot_dot(y2, cre_ref, cim_ref, sc_ref):
-    """[yr; yi] @ Cinv^T for bf16/int8 transposed planes; f32 accumulation.
-    ``sc_ref`` carries the per-output-lane [re, im] dequantization scales
-    (all-ones for bf16 storage)."""
-    cre = cre_ref[0, 0].astype(jnp.float32)
-    cim = cim_ref[0, 0].astype(jnp.float32)
-    zr = jnp.dot(y2, cre, preferred_element_type=jnp.float32)
-    zi = jnp.dot(y2, cim, preferred_element_type=jnp.float32)
-    sre = sc_ref[0, 0, 0]
-    sim = sc_ref[0, 0, 1]
-    zr = zr * sre[None, :]
-    zi = zi * sim[None, :]
+    """[yr; yi] @ Cinv^T for bf16/int8 transposed planes; f32 accumulation."""
+    zr, zi = _scaled_dots(y2, cre_ref, cim_ref, sc_ref)
     tr = zr[0] - zi[1]
     ti = zr[1] + zi[0]
     return tr, ti
@@ -236,6 +262,7 @@ def _fwd(fac: PallasFactorization, s_idx, b2, t_init, start: int = 0,
     (m, 2, np) / (2, np) f32 layout.  Returns (y2, t2) stacks (m_eff, 2, np)."""
     interpret = _resolve_interpret(interpret)
     m, npad = fac.m, fac.np_
+    nb = fac.scale.shape[3]
     m_eff = m - start
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -248,8 +275,8 @@ def _fwd(fac: PallasFactorization, s_idx, b2, t_init, start: int = 0,
                          lambda j, s: (s[0], start + j, 0, 0)),
             pl.BlockSpec((1, 1, npad, npad),
                          lambda j, s: (s[0], start + j, 0, 0)),
-            pl.BlockSpec((1, 1, 2, npad),
-                         lambda j, s: (s[0], start + j, 0, 0)),
+            pl.BlockSpec((1, 1, 2, nb, npad),
+                         lambda j, s: (s[0], start + j, 0, 0, 0)),
             pl.BlockSpec((2, npad), lambda j, s: (0, 0)),
         ],
         out_specs=[
@@ -277,6 +304,7 @@ def _bwd(fac: PallasFactorization, s_idx, y2, tail: int = 0,
     ordered bottom-up-reversed back to top-down."""
     interpret = _resolve_interpret(interpret)
     m, npad = fac.m, fac.np_
+    nb = fac.scale.shape[3]
     m_eff = m if tail <= 0 or tail >= m else tail
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -289,8 +317,8 @@ def _bwd(fac: PallasFactorization, s_idx, y2, tail: int = 0,
                          lambda j, s: (s[0], m - 1 - j, 0, 0)),
             pl.BlockSpec((1, 1, npad, npad),
                          lambda j, s: (s[0], m - 1 - j, 0, 0)),
-            pl.BlockSpec((1, 1, 2, npad),
-                         lambda j, s: (s[0], m - 1 - j, 0, 0)),
+            pl.BlockSpec((1, 1, 2, nb, npad),
+                         lambda j, s: (s[0], m - 1 - j, 0, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 2, npad), lambda j, s: (m_eff - 1 - j, 0, 0)),
@@ -429,13 +457,8 @@ def _band_apply_multi(band, t):
 
 def _pivot_dot_multi(y, cre_ref, cim_ref, sc_ref):
     """[Yr; Yi] @ Cinv^T for (2r, np) stacked rows; f32 accumulation, with
-    per-output-lane [re, im] dequantization scales (ones for bf16)."""
-    cre = cre_ref[0, 0].astype(jnp.float32)
-    cim = cim_ref[0, 0].astype(jnp.float32)
-    z1 = jnp.dot(y, cre, preferred_element_type=jnp.float32)
-    z2 = jnp.dot(y, cim, preferred_element_type=jnp.float32)
-    z1 = z1 * sc_ref[0, 0, 0][None, :]
-    z2 = z2 * sc_ref[0, 0, 1][None, :]
+    per-(input-block, output-lane) dequantization scales (ones for bf16)."""
+    z1, z2 = _scaled_dots(y, cre_ref, cim_ref, sc_ref)
     r = y.shape[0] // 2
     tr = z1[:r] - z2[r:]
     ti = z1[r:] + z2[:r]
@@ -483,6 +506,7 @@ def _fwd_b(fac: PallasFactorization, s_idx, b4, start: int = 0,
     interpret = _resolve_interpret(interpret)
     S, r2 = b4.shape[0], b4.shape[2]
     m, npad = fac.m, fac.np_
+    nb = fac.scale.shape[3]
     m_eff = m - start
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -495,8 +519,8 @@ def _fwd_b(fac: PallasFactorization, s_idx, b4, start: int = 0,
                          lambda i, j, s: (s[i], start + j, 0, 0)),
             pl.BlockSpec((1, 1, npad, npad),
                          lambda i, j, s: (s[i], start + j, 0, 0)),
-            pl.BlockSpec((1, 1, 2, npad),
-                         lambda i, j, s: (s[i], start + j, 0, 0)),
+            pl.BlockSpec((1, 1, 2, nb, npad),
+                         lambda i, j, s: (s[i], start + j, 0, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, r2, npad), lambda i, j, s: (i, j, 0, 0)),
@@ -520,6 +544,7 @@ def _bwd_b(fac: PallasFactorization, s_idx, y4, tail: int = 0,
     interpret = _resolve_interpret(interpret)
     S, r2 = y4.shape[0], y4.shape[2]
     m, npad = fac.m, fac.np_
+    nb = fac.scale.shape[3]
     m_eff = m if tail <= 0 or tail >= m else tail
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -532,8 +557,8 @@ def _bwd_b(fac: PallasFactorization, s_idx, y4, tail: int = 0,
                          lambda i, j, s: (s[i], m - 1 - j, 0, 0)),
             pl.BlockSpec((1, 1, npad, npad),
                          lambda i, j, s: (s[i], m - 1 - j, 0, 0)),
-            pl.BlockSpec((1, 1, 2, npad),
-                         lambda i, j, s: (s[i], m - 1 - j, 0, 0)),
+            pl.BlockSpec((1, 1, 2, nb, npad),
+                         lambda i, j, s: (s[i], m - 1 - j, 0, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, r2, npad),
