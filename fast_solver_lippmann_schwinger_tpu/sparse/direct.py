@@ -142,35 +142,34 @@ def _pivot_apply(fac_slice, y):
     if hasattr(fac_slice, "band_re"):
         return _banded_pivot_apply(fac_slice, y)
     if hasattr(fac_slice, "q_re"):
-        # int8 rows x f32 columns with per-(row, col-block) scales: the
-        # contraction splits into nb partial products, each scaled before
-        # accumulation — only the int8 planes stream from HBM
+        # transposed int8 x f32 with per-(input-block, output) scales: the
+        # contraction runs over the leading (input) axis of the transposed
+        # planes, one 128-row block at a time, each partial product scaled
+        # AFTER its matmul — no dequantized matrix ever materializes (an
+        # einsum formulation was observed to hoist dequantized f32 planes
+        # for the WHOLE pivot stack out of the sweep scan: +8 GB at 96^3)
         n = y.shape[0]
-        nb = fac_slice.s_re.shape[-1]
+        nb = fac_slice.s_re.shape[0]
         pad = nb * _INT8_BLOCK - n
         ys = jnp.stack(
             [jnp.real(y).astype(jnp.float32), jnp.imag(y).astype(jnp.float32)],
             axis=-1,
         )
-        flat = jnp.pad(ys.reshape(n, -1), [(0, pad), (0, 0)])
-        flat_b = flat.reshape(nb, _INT8_BLOCK, -1)
-        q_re = jnp.pad(fac_slice.q_re, [(0, 0), (0, pad)]).reshape(
-            n, nb, _INT8_BLOCK
-        )
-        q_im = jnp.pad(fac_slice.q_im, [(0, 0), (0, pad)]).reshape(
-            n, nb, _INT8_BLOCK
-        )
-        # (n, nb, B) x (nb, B, r) -> (n, nb, r), scaled per (n, nb), summed
-        zre = jnp.einsum(
-            "rbk,bkc,rb->rc", q_re.astype(jnp.float32), flat_b,
-            fac_slice.s_re,
-        )
-        zim = jnp.einsum(
-            "rbk,bkc,rb->rc", q_im.astype(jnp.float32), flat_b,
-            fac_slice.s_im,
-        )
-        zre = zre.reshape(ys.shape)
-        zim = zim.reshape(ys.shape)
+        flat_t = jnp.pad(ys.reshape(n, -1), [(0, pad), (0, 0)]).T  # (r, in_pad)
+        r_cols = flat_t.shape[0]
+        zre_t = jnp.zeros((r_cols, n), jnp.float32)
+        zim_t = jnp.zeros((r_cols, n), jnp.float32)
+        for b in range(nb):
+            sl = slice(b * _INT8_BLOCK, (b + 1) * _INT8_BLOCK)
+            fb = flat_t[:, sl]                                # (r, B)
+            zre_t = zre_t + (
+                fb @ fac_slice.q_re[sl].astype(jnp.float32)
+            ) * fac_slice.s_re[b][None, :]
+            zim_t = zim_t + (
+                fb @ fac_slice.q_im[sl].astype(jnp.float32)
+            ) * fac_slice.s_im[b][None, :]
+        zre = zre_t.T.reshape(ys.shape)
+        zim = zim_t.T.reshape(ys.shape)
         out_r = zre[..., 0] - zim[..., 1]
         out_i = zre[..., 1] + zim[..., 0]
         return jax.lax.complex(out_r, out_i).astype(y.dtype)
@@ -478,10 +477,16 @@ class BlockTridiagFactorization3DInt8:
     factorization in 16 GB (bf16 was measured 12.7 GB pivots -> OOM).
     Preconditioner-only use, as with bf16."""
 
-    q_re: jnp.ndarray      # (l, mn, mn) int8
-    q_im: jnp.ndarray      # (l, mn, mn) int8
-    s_re: jnp.ndarray      # (l, mn, nb) float32 per-(row, col-block) scales
-    s_im: jnp.ndarray      # (l, mn, nb) float32
+    # TRANSPOSED quantized pivot inverses: ``q_*[i, j] ~ Cinv[j, i]`` — the
+    # apply contracts the LEADING axis (input i), which is the orientation
+    # XLA:TPU wants for the int8 operand; storing row-major (out, in)
+    # makes layout assignment keep a transposed COPY of the whole stack
+    # (measured +10 GB at 96^3: the stack appears twice in the HBM dump
+    # with swapped minor dims).  Input axis padded to a 128 multiple.
+    q_re: jnp.ndarray      # (l, mn_pad, mn) int8, transposed
+    q_im: jnp.ndarray      # (l, mn_pad, mn) int8
+    s_re: jnp.ndarray      # (l, nb, mn) f32 per-(input-block, output) scales
+    s_im: jnp.ndarray      # (l, nb, mn) f32
     lsten: jnp.ndarray     # (l, m, n, 3, 3)
     usten: jnp.ndarray     # (l, m, n, 3, 3)
 
@@ -489,29 +494,30 @@ class BlockTridiagFactorization3DInt8:
 _INT8_BLOCK = 128
 
 
-def _quantize_rows_int8(a):
-    """f32 (rows, cols) -> (int8 rows, f32 (rows, nb) per-col-block scales).
+def _quantize_t_int8(a):
+    """f32 (out, in) -> (int8 (in_pad, out) transposed, f32 (nb, out)
+    per-(input-block, output) scales).
 
-    One scale per whole row loses the rows' decay structure (measured to
-    wreck preconditioner quality at scale); 128-column blocks track it.
-    ``cols`` is padded up to a block multiple for the scale computation and
-    the quantized matrix keeps the original width.
+    One scale per whole output row loses the rows' decay structure
+    (measured to wreck preconditioner quality at scale); 128-wide input
+    blocks track it.
     """
-    rows, cols = a.shape
-    nb = -(-cols // _INT8_BLOCK)
-    pad = nb * _INT8_BLOCK - cols
-    ab = jnp.pad(a, [(0, 0), (0, pad)]).reshape(rows, nb, _INT8_BLOCK)
-    absmax = jnp.max(jnp.abs(ab), axis=2)                 # (rows, nb)
+    out_n, in_n = a.shape
+    nb = -(-in_n // _INT8_BLOCK)
+    pad = nb * _INT8_BLOCK - in_n
+    at = jnp.pad(a.T, [(0, pad), (0, 0)])                 # (in_pad, out)
+    ab = at.reshape(nb, _INT8_BLOCK, out_n)
+    absmax = jnp.max(jnp.abs(ab), axis=1)                 # (nb, out)
     scale = jnp.where(absmax > 0, absmax / 127.0, 1.0).astype(jnp.float32)
     q = jnp.clip(
-        jnp.round(ab / scale[:, :, None]), -127, 127
-    ).astype(jnp.int8).reshape(rows, nb * _INT8_BLOCK)[:, :cols]
+        jnp.round(ab / scale[:, None, :]), -127, 127
+    ).astype(jnp.int8).reshape(nb * _INT8_BLOCK, out_n)
     return q, scale
 
 
 def _compress_pivot_int8(cinv):
-    q_re, s_re = _quantize_rows_int8(jnp.real(cinv).astype(jnp.float32))
-    q_im, s_im = _quantize_rows_int8(jnp.imag(cinv).astype(jnp.float32))
+    q_re, s_re = _quantize_t_int8(jnp.real(cinv).astype(jnp.float32))
+    q_im, s_im = _quantize_t_int8(jnp.imag(cinv).astype(jnp.float32))
     return q_re, q_im, s_re, s_im
 
 
