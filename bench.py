@@ -211,6 +211,82 @@ def measure_e2e(h=1.0 / 800.0, subs=16, platform=None, pivot="pallas",
     return dt, problem.grid.size
 
 
+def measure_e2e_batched(h=1.0 / 800.0, subs=16, platform=None, pivot="pallas",
+                        n_dirs=2, restart=20, maxiter=12, rtol=1e-6,
+                        repeats=3):
+    """Chain-timed JOINT batched solve of ``n_dirs`` incident directions
+    (``gmres_batched`` + ``DoubleSweepPreconditioner.apply_batch``): the
+    sweeps stream each pivot plane from HBM once for the whole batch, so
+    n_dirs solves cost barely more than one.  The reference's driver solves
+    its two directions serially (``tests/plasma_example.jl:160,172``).
+
+    Returns (seconds_per_chain_step, n_points, n_dirs) — divide by n_dirs
+    for the per-direction time.
+    """
+    jax = _setup_jax(platform)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fast_solver_lippmann_schwinger_tpu.models import plasma2d
+    from fast_solver_lippmann_schwinger_tpu.solver.gmres import gmres_batched
+    from fast_solver_lippmann_schwinger_tpu.utils.host import to_device_complex
+
+    t0 = time.time()
+    problem = plasma2d.build_problem(
+        h=h, n_subdomains=subs, npml=10, dtype=jnp.complex64,
+        double_sweep=True, pivot_dtype=pivot,
+    )
+    print(f"[bench] batched e2e setup ({pivot} pivots) dispatched in "
+          f"{time.time()-t0:.0f}s", file=sys.stderr)
+    X, Y = problem.grid.mesh()
+    dtype = problem.op.symbol.dtype
+
+    def one_solve(op, pc, uis):
+        apply_b = jax.vmap(op.apply)
+        x, _ = gmres_batched(apply_b, -(apply_b(uis) - uis),
+                             preconditioner=pc.apply_batch, rtol=rtol,
+                             restart=restart, maxiter=maxiter)
+        return x
+
+    def chain(op, pc, uis, n_steps):
+        def body(c, _):
+            x = one_solve(op, pc, c)
+            return c + 1e-6 * x / jnp.maximum(
+                jnp.max(jnp.abs(x)), 1e-30), None
+        out, _ = jax.lax.scan(body, uis, None, length=n_steps)
+        return jnp.broadcast_to(jnp.abs(out).sum(), (8,)).astype(jnp.float32)
+
+    c1 = jax.jit(lambda op, pc, v: chain(op, pc, v, 1))
+    c3 = jax.jit(lambda op, pc, v: chain(op, pc, v, 3))
+    dirs = np.array([(1.0, 0.0), (0.0, 1.0), (0.6, 0.8), (-0.8, 0.6)])
+    dirs = dirs[:n_dirs]
+    phases = dirs[:, 0:1] * X.ravel()[None] + dirs[:, 1:2] * Y.ravel()[None]
+    n_inputs = 2 + 2 * repeats
+    uis = [to_device_complex(np.exp(1j * (problem.k * phases + 1e-4 * i)),
+                             dtype) for i in range(n_inputs)]
+
+    def run_synced(fn, ui):
+        return float(np.asarray(fn(problem.op, problem.precond, ui))[0])
+
+    t0 = time.time()
+    run_synced(c1, uis[0])
+    run_synced(c3, uis[1])
+    print(f"[bench] batched e2e warmup/compile in {time.time()-t0:.0f}s",
+          file=sys.stderr)
+    t1s, t3s = [], []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        run_synced(c1, uis[2 + 2 * i])
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run_synced(c3, uis[3 + 2 * i])
+        t3s.append(time.perf_counter() - t0)
+    t1 = sorted(t1s)[len(t1s) // 2]
+    t3 = sorted(t3s)[len(t3s) // 2]
+    dt = max(t3 - t1, 1e-9) / 2
+    return dt, problem.grid.size, n_dirs
+
+
 def measure_cpu_e2e(h=1.0 / 800.0, subs=16):
     """One warm full solve on the host CPU (complex64, full pivots, same
     GMRES budget as the TPU measurement); returns (seconds, n_points)."""
@@ -288,6 +364,14 @@ def main():
     if "--iters" in args:
         print(json.dumps({"iters": measure_e2e_iters()}))
         return
+    if "--dual" in args:
+        dt, npts, n_dirs = measure_e2e_batched()
+        print(json.dumps({
+            "ms_per_dual_chain_step": round(dt * 1e3, 1),
+            "n_dirs": n_dirs,
+            "ms_per_direction": round(dt * 1e3 / n_dirs, 1),
+        }))
+        return
 
     apply_gpps = None
     try:
@@ -340,6 +424,20 @@ def main():
           f"({solve_gpps/1e6:.3f} Mgridpoints/s solve throughput)",
           file=sys.stderr)
 
+    # joint dual-direction solve (the reference's full driver workload):
+    # pivot streaming amortizes over the direction batch
+    dual_ms_per_dir = None
+    if "--no-dual" not in args:
+        try:
+            dt_d, _, n_dirs = measure_e2e_batched(pivot=pivot_used)
+            dual_ms_per_dir = dt_d * 1e3 / n_dirs
+            print(f"[bench] dual-direction batched solve: {dt_d*1e3:.1f} ms "
+                  f"for {n_dirs} directions ({dual_ms_per_dir:.1f} ms/dir, "
+                  f"{dt*1e3/dual_ms_per_dir:.2f}x amortization)",
+                  file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            print(f"[bench] batched e2e failed: {exc}", file=sys.stderr)
+
     vs_baseline = 1.0
     try:
         with open(_CPU_CACHE) as fh:
@@ -360,6 +458,9 @@ def main():
         "ms_per_solve": round(dt * 1e3, 1),
         "pivot_path": pivot_used,
         "apply_Mgpps": round(apply_gpps / 1e6, 3) if apply_gpps else None,
+        "ms_per_solve_dual_batched": (
+            round(dual_ms_per_dir, 1) if dual_ms_per_dir else None
+        ),
     }))
 
 

@@ -428,13 +428,19 @@ def build_slab_system(
 
 def partition_source(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
     """Scatter a global (m*n,) source into per-slab interior lines
-    (``sourcePartition``, ``src/subdomains.jl:291-306``)."""
-    bg = b.reshape(slabs.m, slabs.n)
-    gathered = bg[slabs.src_line]                       # (S, m1_max, n)
-    return jnp.where(slabs.src_valid[..., None], gathered, 0.0)
+    (``sourcePartition``, ``src/subdomains.jl:291-306``).
+
+    ``b`` may carry trailing RHS columns: (m*n, r) -> (S, m1_max, n, r)."""
+    bg = b.reshape((slabs.m, slabs.n) + b.shape[1:])
+    gathered = bg[slabs.src_line]                  # (S, m1_max, n) + extra
+    mask = slabs.src_valid.reshape(
+        slabs.src_valid.shape + (1,) * (gathered.ndim - 2)
+    )
+    return jnp.where(mask, gathered, 0.0)
 
 
 def gather_interior(slabs: SlabSystem, fields: jnp.ndarray) -> jnp.ndarray:
-    """Collect per-slab (S, m1_max, n) fields back to a flat global vector."""
-    out = fields[slabs.owner, slabs.owner_line]         # (m, n)
-    return out.reshape(slabs.m * slabs.n)
+    """Collect per-slab (S, m1_max, n[, r]) fields back to a flat global
+    (m*n[, r]) vector."""
+    out = fields[slabs.owner, slabs.owner_line]    # (m, n) + extra
+    return out.reshape((slabs.m * slabs.n,) + fields.shape[3:])

@@ -64,10 +64,15 @@ def gs_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
     * UP: revisit slabs in reverse; add equivalent sources from slab s+1's
       (u_0, u_1); record incoming traces with the reflection correction
       ``u_1 <- u[ind_1] - u_np``; reconstruct interiors on the fly.
+
+    ``b`` may carry trailing RHS columns (m*n, r): the local solves then
+    contract each streamed pivot plane against all r columns at once —
+    the sweeps are HBM-bound on exactly that traffic, so r right-hand
+    sides cost barely more than one (see ``DoubleSweepPreconditioner
+    .apply_batch`` and the dual-incident-direction benchmark).
     """
-    rhs0 = partition_source(slabs, b)      # (S, m1_max, n)
+    rhs0 = partition_source(slabs, b)      # (S, m1_max, n[, r])
     dtype = rhs0.dtype
-    n = slabs.n
 
     def down_step(carry, xs):
         u_n_prev, u_np_prev = carry
@@ -93,7 +98,7 @@ def gs_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
         u_np = v[xs["lnp"]]
         return (u_n, u_np), (rhs, u_np, y_c, t_c)
 
-    zeros_n = jnp.zeros((n,), dtype)
+    zeros_n = jnp.zeros(rhs0.shape[2:], dtype)      # (n[, r])
     xs = dict(_slab_xs(slabs), rhs=rhs0)
     (_, _), (rhs_down, u_np_all, y_all, t_all) = jax.lax.scan(
         down_step, (zeros_n, zeros_n), xs
@@ -266,6 +271,10 @@ class SingleSweepPreconditioner:
     def apply(self, b: jnp.ndarray) -> jnp.ndarray:
         return gs_sweep(self.slabs, self.a_s.matvec(b))
 
+    def apply_batch(self, b_batch: jnp.ndarray) -> jnp.ndarray:
+        """(R, m*n) joint batch apply (``gmres_batched`` convention)."""
+        return self.apply(b_batch.T).T
+
     def __call__(self, b):
         return self.apply(b)
 
@@ -323,10 +332,17 @@ class DoubleSweepPreconditioner:
     a_s: StencilMatrix2D
 
     def _transpose_flat(self, v: jnp.ndarray) -> jnp.ndarray:
-        return v.reshape(self.msp.m, self.msp.n).T.reshape(-1)
+        """Grid transpose of a flat (m*n[, r]) vector (trailing RHS columns
+        ride along)."""
+        vg = v.reshape((self.msp.m, self.msp.n) + v.shape[1:])
+        return jnp.swapaxes(vg, 0, 1).reshape(
+            (self.msp.m * self.msp.n,) + v.shape[1:]
+        )
 
     def apply_sparsified(self, b: jnp.ndarray) -> jnp.ndarray:
-        """The double sweep on the sparsified system (``doubleGSPreconditioner``)."""
+        """The double sweep on the sparsified system
+        (``doubleGSPreconditioner``); ``b`` (m*n,) or (m*n, r) — the sweeps'
+        local solves amortize their pivot streaming over the r columns."""
         u = gs_sweep(self.slabs, b)
         err = self.msp.matvec(u) - b
         u2 = self._transpose_flat(gs_sweep(self.slabs_t, self._transpose_flat(err)))
@@ -334,6 +350,13 @@ class DoubleSweepPreconditioner:
 
     def apply(self, b: jnp.ndarray) -> jnp.ndarray:
         return self.apply_sparsified(self.a_s.matvec(b))
+
+    def apply_batch(self, b_batch: jnp.ndarray) -> jnp.ndarray:
+        """(R, m*n) batch apply in the ``gmres_batched`` convention: one
+        joint double sweep whose pivot planes stream from HBM once per R
+        right-hand sides (the reference solves its two incident directions
+        serially, ``tests/plasma_example.jl:160,172``)."""
+        return self.apply(b_batch.T).T
 
     def __call__(self, b):
         return self.apply(b)

@@ -125,29 +125,32 @@ def solve(problem: Plasma2DProblem, incident_direction=(1.0, 0.0),
 def solve_batched(problem: Plasma2DProblem,
                   incident_directions=((1.0, 0.0), (0.0, 1.0)),
                   rtol: float = 1e-8, restart: int = 20, maxiter: int = 100):
-    """All incident directions in one vmapped GMRES solve.
+    """All incident directions in ONE joint batched GMRES solve.
 
     The reference loops directions serially (``tests/plasma_example.jl:160,172``).
-    Batching is the TPU-idiomatic form: the sweep solves are HBM-bound on
-    streaming the per-line pivot inverses, and under ``vmap`` each scan step
-    becomes one (n, n) x (n, R) matmul — the factorization is read from HBM
-    once per iteration for the WHOLE batch instead of once per direction.
+    The joint form is the TPU-idiomatic replacement: the sweep local solves
+    are HBM-bound on streaming the per-line pivot inverses, and the batched
+    preconditioner (``DoubleSweepPreconditioner.apply_batch``) carries all R
+    right-hand sides through each sweep at once — every pivot plane is read
+    from HBM once per sweep for the WHOLE batch instead of once per
+    direction (R solves for ~the price of one; measured ~1.8x dual-direction
+    throughput at the 801 headline, RESULTS.md).
 
     Returns ``(x, info)`` with a leading batch axis on every field.
     """
+    from fast_solver_lippmann_schwinger_tpu.solver.gmres import gmres_batched
+
     X, Y = problem.grid.mesh()
     dirs = np.asarray(incident_directions, dtype=np.float64)
     dtype = problem.op.symbol.dtype
     phases = dirs[:, 0:1] * X.ravel()[None, :] + dirs[:, 1:2] * Y.ravel()[None, :]
     u_inc = to_device_complex(np.exp(1j * problem.k * phases), dtype)  # (R, N)
 
-    def one(op, pc, ui):
-        return gmres(
-            op.apply, -(op.apply(ui) - ui), preconditioner=pc.apply,
+    def fn(op, pc, uis):
+        apply_b = jax.vmap(op.apply)
+        return gmres_batched(
+            apply_b, -(apply_b(uis) - uis), preconditioner=pc.apply_batch,
             rtol=rtol, restart=restart, maxiter=maxiter,
         )
 
-    fn = jax.jit(lambda op, pc, uis: jax.vmap(
-        lambda ui: one(op, pc, ui)
-    )(uis))
-    return fn(problem.op, problem.precond, u_inc)
+    return jax.jit(fn)(problem.op, problem.precond, u_inc)

@@ -372,7 +372,15 @@ def solve(fac: PallasFactorization, s_idx, b: jnp.ndarray, tail: int = 0,
 
 def solve_cached(fac: PallasFactorization, s_idx, b: jnp.ndarray,
                  tail: int = 0, interpret: bool | None = None):
-    """Tail solve + forward-pass caches (``block_thomas_solve_cached``)."""
+    """Tail solve + forward-pass caches (``block_thomas_solve_cached``).
+
+    ``b`` may be (m, n) single-RHS or (m, n, r) multi-RHS; multi-RHS
+    streams each pivot plane from HBM once for ALL r columns (the sweeps'
+    dominant byte traffic — this is the per-solve amortization the batched
+    outer GMRES buys)."""
+    if b.ndim == 3:
+        return _solve_cached_multi(fac, s_idx, b, tail=tail,
+                                   interpret=interpret)
     s = jnp.asarray(s_idx, jnp.int32).reshape(1)
     dtype = b.dtype
     b2 = _to_rows(fac, b)
@@ -383,11 +391,30 @@ def solve_cached(fac: PallasFactorization, s_idx, b: jnp.ndarray,
     return _from_rows(x2, fac.n, dtype, fac.m, off).reshape(b.shape), y2, t2
 
 
+def _solve_cached_multi(fac: PallasFactorization, s_idx, b: jnp.ndarray,
+                        tail: int = 0, interpret: bool | None = None):
+    """Multi-RHS ``solve_cached``: b (m, n, r) complex for ONE slab."""
+    s = jnp.asarray(s_idx, jnp.int32).reshape(1)
+    dtype = b.dtype
+    b4 = _to_rows_b(fac, b[None])                    # (1, m, 2r, np)
+    r2 = b4.shape[2]
+    zeros = jnp.zeros((1, r2, fac.np_), jnp.float32)
+    y4, t4 = _fwd_bt(fac, s, b4, zeros, interpret=interpret)
+    x4 = _bwd_b(fac, s, y4, tail=tail, interpret=interpret)
+    off = 0 if (tail <= 0 or tail >= fac.m) else fac.m - tail
+    x = _from_rows_b(x4, fac.n, dtype, fac.m, off)[0].reshape(b.shape)
+    return x, y4[0], t4[0]
+
+
 def solve_resume(fac: PallasFactorization, s_idx, b: jnp.ndarray,
                  y_cached: jnp.ndarray, t_cached: jnp.ndarray, resume: int,
                  interpret: bool | None = None) -> jnp.ndarray:
     """Solve where b differs from the cached rhs only on the last ``resume``
-    lines (``block_thomas_solve_resume``)."""
+    lines (``block_thomas_solve_resume``); single- or multi-RHS matching
+    the caches produced by :func:`solve_cached`."""
+    if b.ndim == 3:
+        return _solve_resume_multi(fac, s_idx, b, y_cached, t_cached,
+                                   resume, interpret=interpret)
     m = fac.m
     if resume <= 0 or resume >= m:
         return solve(fac, s_idx, b, interpret=interpret)
@@ -400,6 +427,28 @@ def solve_resume(fac: PallasFactorization, s_idx, b: jnp.ndarray,
     y2 = jnp.concatenate([y_cached[:j0], y_new], axis=0)
     x2 = _bwd(fac, s, y2, interpret=interpret)
     return _from_rows(x2, fac.n, dtype, m).reshape(b.shape)
+
+
+def _solve_resume_multi(fac: PallasFactorization, s_idx, b: jnp.ndarray,
+                        y_cached: jnp.ndarray, t_cached: jnp.ndarray,
+                        resume: int,
+                        interpret: bool | None = None) -> jnp.ndarray:
+    """Multi-RHS ``solve_resume``: b (m, n, r); caches (m, 2r, np)."""
+    m = fac.m
+    s = jnp.asarray(s_idx, jnp.int32).reshape(1)
+    dtype = b.dtype
+    b4 = _to_rows_b(fac, b[None])
+    if resume <= 0 or resume >= m:
+        r2 = b4.shape[2]
+        zeros = jnp.zeros((1, r2, fac.np_), jnp.float32)
+        y4, _ = _fwd_bt(fac, s, b4, zeros, interpret=interpret)
+    else:
+        j0 = m - resume
+        y_new, _ = _fwd_bt(fac, s, b4, t_cached[None, j0 - 1], start=j0,
+                           interpret=interpret)
+        y4 = jnp.concatenate([y_cached[None, :j0], y_new], axis=1)
+    x4 = _bwd_b(fac, s, y4, interpret=interpret)
+    return _from_rows_b(x4, fac.n, dtype, m)[0].reshape(b.shape)
 
 
 def solve_support(fac: PallasFactorization, s_idx, b: jnp.ndarray,
@@ -463,6 +512,70 @@ def _pivot_dot_multi(y, cre_ref, cim_ref, sc_ref):
     tr = z1[:r] - z2[r:]
     ti = z1[r:] + z2[:r]
     return jnp.concatenate([tr, ti], axis=0)
+
+
+def _fwd_kernel_bt(s_ref, b_ref, lb_ref, cre_ref, cim_ref, sc_ref, tinit_ref,
+                   y_ref, t_ref, tprev):
+    """Multi-RHS forward substitution that ALSO emits the pivot-applied
+    carry stack ``t`` (the cache consumed by ``solve_resume``) and accepts a
+    per-slab initial carry (the resume entry point)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        tprev[...] = tinit_ref[0]
+
+    r = tprev.shape[0] // 2
+    accr, acci = _band_apply_multi(lb_ref[0, 0], tprev[...])
+    b = b_ref[0, 0]
+    y = jnp.concatenate([b[:r] - accr, b[r:] - acci], axis=0)
+    y_ref[0, 0] = y
+    tn = _pivot_dot_multi(y, cre_ref, cim_ref, sc_ref)
+    tprev[...] = tn
+    t_ref[0, 0] = tn
+
+
+@functools.partial(jax.jit, static_argnames=("start", "interpret"))
+def _fwd_bt(fac: PallasFactorization, s_idx, b4, t_init, start: int = 0,
+            interpret: bool | None = None):
+    """Batched multi-RHS forward substitution with carry cache: b4 is
+    (S, m, 2r, np) f32, ``t_init`` (S, 2r, np).  Returns (y4, t4) stacks
+    (S, m_eff, 2r, np) over lines ``start..m-1``."""
+    interpret = _resolve_interpret(interpret)
+    S, r2 = b4.shape[0], b4.shape[2]
+    m, npad = fac.m, fac.np_
+    nb = fac.scale.shape[3]
+    m_eff = m - start
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(S, m_eff),
+        in_specs=[
+            pl.BlockSpec((1, 1, r2, npad), lambda i, j, s: (i, start + j, 0, 0)),
+            pl.BlockSpec((1, 1, 2, 3, npad),
+                         lambda i, j, s: (s[i], start + j, 0, 0, 0)),
+            pl.BlockSpec((1, 1, npad, npad),
+                         lambda i, j, s: (s[i], start + j, 0, 0)),
+            pl.BlockSpec((1, 1, npad, npad),
+                         lambda i, j, s: (s[i], start + j, 0, 0)),
+            pl.BlockSpec((1, 1, 2, nb, npad),
+                         lambda i, j, s: (s[i], start + j, 0, 0, 0)),
+            pl.BlockSpec((1, r2, npad), lambda i, j, s: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, r2, npad), lambda i, j, s: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, r2, npad), lambda i, j, s: (i, j, 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((r2, npad), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _fwd_kernel_bt,
+        out_shape=[
+            jax.ShapeDtypeStruct((S, m_eff, r2, npad), jnp.float32),
+            jax.ShapeDtypeStruct((S, m_eff, r2, npad), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(s_idx, b4, fac.lband, fac.cinv_t_re, fac.cinv_t_im, fac.scale, t_init)
 
 
 def _fwd_kernel_b(s_ref, b_ref, lb_ref, cre_ref, cim_ref, sc_ref, y_ref,
