@@ -362,16 +362,21 @@ def slab_solve_3d(slabs: SlabSystem3D, fac_slice, rhs: jnp.ndarray,
 
 
 def partition_source_3d(slabs: SlabSystem3D, b: jnp.ndarray) -> jnp.ndarray:
-    """Scatter a global (l*m*n,) source into per-slab interior planes."""
-    bg = b.reshape(slabs.l, slabs.m * slabs.n)
-    gathered = bg[slabs.src_plane]                      # (S, l1_max, mn)
-    return jnp.where(slabs.src_valid[..., None], gathered, 0.0)
+    """Scatter a global (l*m*n[, r]) source into per-slab interior planes
+    (trailing RHS columns ride along)."""
+    bg = b.reshape((slabs.l, slabs.m * slabs.n) + b.shape[1:])
+    gathered = bg[slabs.src_plane]                 # (S, l1_max, mn) + extra
+    mask = slabs.src_valid.reshape(
+        slabs.src_valid.shape + (1,) * (gathered.ndim - 2)
+    )
+    return jnp.where(mask, gathered, 0.0)
 
 
 def gather_interior_3d(slabs: SlabSystem3D, fields: jnp.ndarray) -> jnp.ndarray:
-    """Collect per-slab (S, l1_max, mn) fields back to a flat global vector."""
-    out = fields[slabs.owner, slabs.owner_plane]        # (l, mn)
-    return out.reshape(slabs.l * slabs.m * slabs.n)
+    """Collect per-slab (S, l1_max, mn[, r]) fields back to a flat global
+    (l*m*n[, r]) vector."""
+    out = fields[slabs.owner, slabs.owner_plane]   # (l, mn) + extra
+    return out.reshape((slabs.l * slabs.m * slabs.n,) + fields.shape[3:])
 
 
 def _fac_at(fac, i):
@@ -391,20 +396,28 @@ def _slab_xs(slabs: SlabSystem3D):
 
 
 def _cpl_apply(sten, plane, m, n):
-    """Apply an (m, n, 3, 3) inter-plane coupling stencil to a flat plane."""
-    return _plane_stencil_matvec(sten, plane.reshape(m, n)).ravel()
+    """Apply an (m, n, 3, 3) inter-plane coupling stencil to a flat
+    (mn[, r]) plane; trailing RHS columns ride along."""
+    extra = plane.shape[1:]
+    out = _plane_stencil_matvec(sten, plane.reshape((m, n) + extra))
+    return out.reshape((m * n,) + extra)
 
 
 def gs_sweep_3d(slabs: SlabSystem3D, b: jnp.ndarray) -> jnp.ndarray:
     """One optimized Gauss-Seidel down/up sweep over z-slabs:
     ``u ~ Msp^{-1} b`` (plane-trace analog of ``precondGSOptimized``,
-    ``src/preconditioner.jl:557-630``)."""
+    ``src/preconditioner.jl:557-630``).
+
+    ``b`` may carry trailing RHS columns (l*m*n, r): like the 2D sweep,
+    the plane solves then stream each pivot plane from HBM once for all r
+    columns (multi-source amortization)."""
     if slabs.pivot_layout == "y":
         return _gs_sweep_3d_plain(slabs, b)
-    rhs0 = partition_source_3d(slabs, b)   # (S, l1_max, mn)
+    rhs0 = partition_source_3d(slabs, b)   # (S, l1_max, mn[, r])
     dtype = rhs0.dtype
     m, n = slabs.m, slabs.n
     mn = m * n
+    extra = rhs0.shape[3:]
 
     def down_step(carry, xs):
         u_n_prev, u_np_prev = carry
@@ -419,10 +432,10 @@ def gs_sweep_3d(slabs: SlabSystem3D, b: jnp.ndarray) -> jnp.ndarray:
         v, y_c, t_c = block_thomas_solve_cached_3d(
             _fac_at(slabs.fac, xs["idx"]), rhs, slabs.trace_tail
         )
-        v = v.reshape(slabs.l1_max, mn)
+        v = v.reshape((slabs.l1_max, mn) + extra)
         return (v[xs["ln"]], v[xs["lnp"]]), (rhs, v[xs["lnp"]], y_c, t_c)
 
-    zeros_p = jnp.zeros((mn,), dtype)
+    zeros_p = jnp.zeros((mn,) + extra, dtype)
     xs = dict(_slab_xs(slabs), rhs=rhs0)
     (_, _), (rhs_down, u_np_all, y_all, t_all) = jax.lax.scan(
         down_step, (zeros_p, zeros_p), xs
@@ -442,7 +455,7 @@ def gs_sweep_3d(slabs: SlabSystem3D, b: jnp.ndarray) -> jnp.ndarray:
             _fac_at(slabs.fac, xs["idx"]), rhs, xs["y_c"], xs["t_c"],
             slabs.trace_tail,
         )
-        u = u.reshape(slabs.l1_max, mn)
+        u = u.reshape((slabs.l1_max, mn) + extra)
         u_0 = u[xs["l0"]]
         u_1 = u[xs["l1"]] - xs["u_np_above"]   # reflection correction
         return (u_0, u_1), u
@@ -456,7 +469,7 @@ def gs_sweep_3d(slabs: SlabSystem3D, b: jnp.ndarray) -> jnp.ndarray:
 def _gs_sweep_3d_plain(slabs: SlabSystem3D, b: jnp.ndarray) -> jnp.ndarray:
     """Sweep variant with plain (uncached) local solves — used by the
     y-blocked pivot layout, whose solves have no z-tail/resume structure."""
-    rhs0 = partition_source_3d(slabs, b)   # (S, l1_max, mn)
+    rhs0 = partition_source_3d(slabs, b)   # (S, l1_max, mn[, r])
     dtype = rhs0.dtype
     m, n = slabs.m, slabs.n
 
@@ -471,7 +484,7 @@ def _gs_sweep_3d_plain(slabs: SlabSystem3D, b: jnp.ndarray) -> jnp.ndarray:
         v = slab_solve_3d(slabs, _fac_at(slabs.fac, xs["idx"]), rhs)
         return (v[xs["ln"]], v[xs["lnp"]]), (rhs, v[xs["lnp"]])
 
-    zeros_p = jnp.zeros((m * n,), dtype)
+    zeros_p = jnp.zeros(rhs0.shape[2:], dtype)
     xs = dict(_slab_xs(slabs), rhs=rhs0)
     (_, _), (rhs_down, u_np_all) = jax.lax.scan(
         down_step, (zeros_p, zeros_p), xs
@@ -505,6 +518,10 @@ class GSPreconditioner3D:
     def apply(self, b: jnp.ndarray) -> jnp.ndarray:
         return gs_sweep_3d(self.slabs, b)
 
+    def apply_batch(self, b_batch: jnp.ndarray) -> jnp.ndarray:
+        """(R, l*m*n) joint batch apply (``gmres_batched`` convention)."""
+        return self.apply(b_batch.T).T
+
     def __call__(self, b):
         return self.apply(b)
 
@@ -520,6 +537,11 @@ class SingleSweepPreconditioner3D:
 
     def apply(self, b: jnp.ndarray) -> jnp.ndarray:
         return gs_sweep_3d(self.slabs, self.a_s.matvec(b))
+
+    def apply_batch(self, b_batch: jnp.ndarray) -> jnp.ndarray:
+        """(R, l*m*n) joint batch apply: the z-sweep's plane solves stream
+        each pivot plane once for the whole multi-source batch."""
+        return self.apply(b_batch.T).T
 
     def __call__(self, b):
         return self.apply(b)

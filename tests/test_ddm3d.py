@@ -139,3 +139,45 @@ def test_multi_rhs_3d_solve(setup_3d):
     for r in range(3):
         ref = np.asarray(block_thomas_solve_3d(fac, B[:, r]))
         np.testing.assert_allclose(got[:, r], ref, rtol=1e-10, atol=1e-12)
+
+
+def test_gs_sweep_3d_multirhs_matches_columns(setup_3d):
+    """Multi-RHS 3D z-sweep == per-column sweeps (pivot-streaming
+    amortization for multi-source 3D solves)."""
+    slabs = setup_3d["slabs"]
+    rng = np.random.default_rng(11)
+    B = jnp.asarray(
+        rng.standard_normal((NN ** 3, 3)) + 1j * rng.standard_normal((NN ** 3, 3))
+    )
+    got = gs_sweep_3d(slabs, B)
+    assert got.shape == B.shape
+    for r in range(3):
+        ref = gs_sweep_3d(slabs, B[:, r])
+        err = float(jnp.max(jnp.abs(got[:, r] - ref)))
+        assert err < 1e-11 * float(jnp.max(jnp.abs(ref))), err
+
+
+def test_gs_sweep_3d_multirhs_yblock(setup_3d):
+    """Multi-RHS through the y-blocked pivot layout (the 96^3 memory-wall
+    mode) == per-column sweeps."""
+    a_st, ag_st = setup_3d["a"], setup_3d["ag"]
+    slabs = setup_3d["slabs"]
+    import numpy as _np
+
+    nu = _np.zeros((NN, NN, NN))
+    x = _np.linspace(0.0, 1.0, NN)
+    Z, Y, X = _np.meshgrid(x, x, x, indexing="ij")
+    nu = media.gaussian_bump_3d(X, Y, Z)
+    slabs_y = build_slab_system_3d(
+        a_st, ag_st, nu, x, setup_3d["h"], K, n_subs=2, npml=5,
+        pivot_dtype="yblock",
+    )
+    rng = np.random.default_rng(13)
+    B = jnp.asarray(
+        rng.standard_normal((NN ** 3, 2)) + 1j * rng.standard_normal((NN ** 3, 2))
+    )
+    got = gs_sweep_3d(slabs_y, B)
+    for r in range(2):
+        ref = gs_sweep_3d(slabs_y, B[:, r])
+        err = float(jnp.max(jnp.abs(got[:, r] - ref)))
+        assert err < 1e-11 * float(jnp.max(jnp.abs(ref))), err
