@@ -219,9 +219,22 @@ def gmres_batched(
     n_cycles = -(-maxiter // restart)
 
     def arnoldi_step(carry, _):
-        V, Rm, g, cs, sn, jcount, resnorm, active = carry
         # V: (restart+1, R, N); Rm: (restart+1, restart+1, R);
         # g: (restart+1, R); cs/sn: (restart, R); jcount/resnorm/active: (R,)
+        # Once EVERY system has converged the whole step is skipped (the
+        # single-RHS ``gmres`` has the same early exit) — without it the
+        # remaining steps of the restart cycle would keep paying full
+        # batched matvec + preconditioner applies for frozen iterates.
+        new_carry, rec = lax.cond(
+            jnp.any(carry[-1]), _arnoldi_active, _arnoldi_skip, carry
+        )
+        return new_carry, rec
+
+    def _arnoldi_skip(carry):
+        return carry, jnp.zeros((R,), rdtype)
+
+    def _arnoldi_active(carry):
+        V, Rm, g, cs, sn, jcount, resnorm, active = carry
         j = jnp.max(jnp.where(active, jcount, 0))
         w = M(matvec(V[j]))                               # joint batch apply
 
@@ -273,6 +286,22 @@ def gmres_batched(
 
     def cycle(carry, cycle_idx):
         x, total_res, done = carry
+        x, recs, resnorm = lax.cond(
+            ~jnp.all(done), _cycle_run, _cycle_skip, (x, done)
+        )
+        total_res = lax.dynamic_update_slice(
+            total_res, jnp.moveaxis(recs, 0, 1), (0, 1 + cycle_idx * restart)
+        )
+        done = done | (resnorm <= tol)
+        return (x, total_res, done), None
+
+    def _cycle_skip(args):
+        x, done = args
+        return (x, jnp.zeros((restart, R), rdtype),
+                jnp.zeros((R,), rdtype))
+
+    def _cycle_run(args):
+        x, done = args
         r = M(B - matvec(x))
         beta = norms(r)                                   # (R,)
         V = jnp.zeros((restart + 1, R, n), dtype=dtype)
@@ -312,11 +341,7 @@ def gmres_batched(
         )                                                 # (R, restart)
         x2 = x + jnp.einsum("jrn,rj->rn", V[:restart], y.astype(dtype))
         x = jnp.where(done[:, None], x, x2)
-        total_res = lax.dynamic_update_slice(
-            total_res, jnp.moveaxis(recs, 0, 1), (0, 1 + cycle_idx * restart)
-        )
-        done = done | (resnorm <= tol)
-        return (x, total_res, done), None
+        return x, recs, resnorm
 
     residuals0 = jnp.zeros((R, 1 + n_cycles * restart), rdtype)
     beta0 = norms(M(B - matvec(x0)))
