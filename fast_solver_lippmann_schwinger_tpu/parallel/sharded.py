@@ -161,17 +161,22 @@ def sharded_gs_sweep(slabs: SlabSystem, b: jnp.ndarray, mesh: Mesh,
 
 
 def sharded_gs_sweep_pipelined(slabs: SlabSystem, b_batch: jnp.ndarray,
-                               mesh: Mesh, axis: str = "slab") -> jnp.ndarray:
+                               mesh: Mesh, axis: str = "slab",
+                               rhs_block: int = 1) -> jnp.ndarray:
     """Wavefront-pipelined multi-RHS sweep over a general slab layout: k
     slabs per device (S = k * D), any RHS batch size R (including R < D).
 
     Schedule (GPipe-style block pipeline over the sequential slab chain,
     ``src/preconditioner.jl:576-627``): in round t, device d sweeps its k
-    local slabs SEQUENTIALLY for RHS ``r = t - d`` (masked outside [0, R)),
-    then hands the outgoing interface traces to device d+1 via ``ppermute``.
-    Total 2 (D + R - 1) rounds of k local solves each; pipeline-fill
-    efficiency R / (D + R - 1) — full machine utilization as R grows, vs the
-    D-fold redundant compute of the masked ``sharded_gs_sweep``.
+    local slabs SEQUENTIALLY for RHS block ``q = t - d`` (masked outside
+    [0, RB)), then hands the outgoing interface traces to device d+1 via
+    ``ppermute``.  With ``rhs_block = B`` the R right-hand sides are
+    processed as RB = ceil(R/B) blocks of B columns each: every local solve
+    contracts its streamed pivot planes against the whole block (the HBM
+    amortization of the single-chip multi-RHS sweeps), so a sweep costs
+    2 (D + RB - 1) rounds of B-wide solves instead of 2 (D + R - 1) rounds
+    of single solves — B-fold fewer pivot streams at full fill.
+    Pipeline-fill efficiency is RB / (D + RB - 1).
 
     ``b_batch`` is (R, m*n) replicated; returns the (R, m*n) batch of sweep
     results, numerically identical to vmapping ``gs_sweep`` over the batch
@@ -182,21 +187,29 @@ def sharded_gs_sweep_pipelined(slabs: SlabSystem, b_batch: jnp.ndarray,
     assert S % D == 0, f"{S} slabs must divide over {D} devices"
     k = S // D
     R = b_batch.shape[0]
+    B = max(1, min(rhs_block, R))
+    RB = -(-R // B)
+    if RB * B != R:                       # pad to whole blocks
+        pad = jnp.zeros((RB * B - R, b_batch.shape[1]), b_batch.dtype)
+        b_batch = jnp.concatenate([b_batch, pad], axis=0)
     n = slabs.n
     dtype = slabs.h_stencils.dtype
     specs = slab_sharding_specs(slabs, axis)
 
     def fn(slab_shard, b_rep):
         me = jax.lax.axis_index(axis)
-        bg = b_rep.reshape(R, slabs.m, slabs.n)
-        # (R, k, m1_max, n) local sources for my k slabs
-        rhs_all = jnp.where(
-            slab_shard.src_valid[None, :, :, None],
-            bg[:, slab_shard.src_line], 0.0,
+        bg = b_rep.reshape(RB, B, slabs.m, slabs.n)
+        # (RB, k, m1_max, n, B) local sources for my k slabs
+        rhs_all = jnp.moveaxis(
+            jnp.where(
+                slab_shard.src_valid[None, None, :, :, None],
+                bg[:, :, slab_shard.src_line], 0.0,
+            ),
+            1, -1,
         ).astype(dtype)
 
-        zeros_n = jnp.zeros((n,), dtype)
-        zeros2 = jnp.zeros((2, n), dtype)
+        zeros_n = jnp.zeros((n, B), dtype)
+        zeros2 = jnp.zeros((2, n, B), dtype)
         fwd = [(i, (i + 1) % D) for i in range(D)]
         bwd = [(i, (i - 1) % D) for i in range(D)]
 
@@ -214,9 +227,9 @@ def sharded_gs_sweep_pipelined(slabs: SlabSystem, b_batch: jnp.ndarray,
         )
 
         # ---- down wavefront ----
-        u_np_all = jnp.zeros((R, k, n), dtype)
-        y_all = jnp.zeros((R, k, slabs.m1_max, n), dtype)
-        t_all = jnp.zeros((R, k, slabs.m1_max, n), dtype)
+        u_np_all = jnp.zeros((RB, k, n, B), dtype)
+        y_all = jnp.zeros((RB, k, slabs.m1_max, n, B), dtype)
+        t_all = jnp.zeros((RB, k, slabs.m1_max, n, B), dtype)
 
         def down_li(carry2, xs):
             u_n_prev, u_np_prev = carry2
@@ -233,8 +246,8 @@ def sharded_gs_sweep_pipelined(slabs: SlabSystem, b_batch: jnp.ndarray,
         def down_round(carry, t):
             recv, rhs_all, u_np_all, y_all, t_all = carry
             r = t - me
-            valid = (r >= 0) & (r < R)
-            rc = jnp.clip(r, 0, R - 1)
+            valid = (r >= 0) & (r < RB)
+            rc = jnp.clip(r, 0, RB - 1)
             (u_n, u_np), (rhs_k, unp_k, y_k, t_k) = jax.lax.scan(
                 down_li, (recv[0], recv[1]), dict(slab_xs, rhs=rhs_all[rc])
             )
@@ -251,7 +264,7 @@ def sharded_gs_sweep_pipelined(slabs: SlabSystem, b_batch: jnp.ndarray,
 
         (_, rhs_all, u_np_all, y_all, t_all), _ = jax.lax.scan(
             down_round, (zeros2, rhs_all, u_np_all, y_all, t_all),
-            jnp.arange(D + R - 1),
+            jnp.arange(D + RB - 1),
         )
 
         # ---- up wavefront ----
@@ -275,8 +288,8 @@ def sharded_gs_sweep_pipelined(slabs: SlabSystem, b_batch: jnp.ndarray,
         def up_round(carry, t):
             recv, out_local = carry
             r = t - (D - 1 - me)
-            valid = (r >= 0) & (r < R)
-            rc = jnp.clip(r, 0, R - 1)
+            valid = (r >= 0) & (r < RB)
+            rc = jnp.clip(r, 0, RB - 1)
             (u_0, u_1), u_k = jax.lax.scan(
                 up_li, (recv[0], recv[1]),
                 dict(slab_xs, rhs=rhs_all[rc], u_np=u_np_all[rc],
@@ -290,9 +303,9 @@ def sharded_gs_sweep_pipelined(slabs: SlabSystem, b_batch: jnp.ndarray,
             recv = jax.lax.ppermute(out, axis, bwd)
             return (recv, out_local), None
 
-        out_local0 = jnp.zeros((R, k, slabs.m1_max, n), dtype)
+        out_local0 = jnp.zeros((RB, k, slabs.m1_max, n, B), dtype)
         (_, out_local), _ = jax.lax.scan(
-            up_round, (zeros2, out_local0), jnp.arange(D + R - 1)
+            up_round, (zeros2, out_local0), jnp.arange(D + RB - 1)
         )
 
         # ---- reconstruction: each device contributes its interior lines ----
@@ -300,9 +313,10 @@ def sharded_gs_sweep_pipelined(slabs: SlabSystem, b_batch: jnp.ndarray,
         own = slab_shard.owner             # replicated (m,)
         mine_lines = (own >= base) & (own < base + k)
         vals = out_local[:, jnp.clip(own - base, 0, k - 1),
-                         slab_shard.owner_line]          # (R, m, n)
-        contrib = jnp.where(mine_lines[None, :, None], vals, 0.0)
-        return jax.lax.psum(contrib, axis).reshape(R, -1)
+                         slab_shard.owner_line]          # (RB, m, n, B)
+        contrib = jnp.where(mine_lines[None, :, None, None], vals, 0.0)
+        total = jax.lax.psum(contrib, axis)              # (RB, m, n, B)
+        return jnp.moveaxis(total, -1, 1).reshape(RB * B, -1)
 
     shard_fn = jax.shard_map(
         fn,
@@ -311,7 +325,7 @@ def sharded_gs_sweep_pipelined(slabs: SlabSystem, b_batch: jnp.ndarray,
         out_specs=P(),
         check_vma=False,
     )
-    return shard_fn(slabs, b_batch)
+    return shard_fn(slabs, b_batch)[:R]
 
 
 def make_sharded_double_sweep(slabs, slabs_t, msp, a_s, mesh, axis="slab"):
@@ -333,12 +347,15 @@ def make_sharded_double_sweep(slabs, slabs_t, msp, a_s, mesh, axis="slab"):
 
 
 def make_sharded_double_sweep_pipelined(slabs, slabs_t, msp, a_s, mesh,
-                                        axis="slab"):
+                                        axis="slab", rhs_block: int = 1):
     """Batched alternating bi-directional preconditioner on the pipelined
     wavefront sweeps: maps an (R, m*n) batch of right-hand sides through
     ``u - T' GS_x(T (Msp u - As b))`` with both sweeps pipeline-filled by
     the batch (``doublePreconditioner`` semantics,
     ``src/preconditioner.jl:121-130,228-249``, distributed).
+
+    ``rhs_block`` processes the batch in B-wide blocks per pipeline round
+    (B-fold fewer pivot streams, see :func:`sharded_gs_sweep_pipelined`).
 
     Feed to :func:`solver.gmres.gmres_batched` as the preconditioner for a
     multi-direction outer solve — the production multi-chip path (the masked
@@ -352,10 +369,12 @@ def make_sharded_double_sweep_pipelined(slabs, slabs_t, msp, a_s, mesh,
 
     def apply_(b_batch):
         asb = a_s.matvec(b_batch.T).T        # stencil matvec: trailing RHS cols
-        u = sharded_gs_sweep_pipelined(slabs, asb, mesh, axis)
+        u = sharded_gs_sweep_pipelined(slabs, asb, mesh, axis, rhs_block)
         err = msp.matvec(u.T).T - asb
         u2 = transpose_flat(
-            sharded_gs_sweep_pipelined(slabs_t, transpose_flat(err), mesh, axis)
+            sharded_gs_sweep_pipelined(
+                slabs_t, transpose_flat(err), mesh, axis, rhs_block
+            )
         )
         return u - u2
 

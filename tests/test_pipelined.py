@@ -59,3 +59,35 @@ def test_pipelined_sweep_matches_single_device(slabs4, n_dev, n_rhs):
     for r in range(n_rhs):
         ref = np.asarray(gs_sweep(slabs, B[r]))
         np.testing.assert_allclose(got[r], ref, rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.parametrize(
+    "n_dev,n_rhs,block",
+    [
+        (2, 4, 2),   # whole blocks
+        (2, 5, 2),   # ragged: pads to 3 blocks of 2
+        (4, 6, 3),   # k = 1, blocks of 3
+        (2, 4, 8),   # block > R clamps to R (one block)
+    ],
+)
+def test_pipelined_sweep_rhs_blocks(slabs4, n_dev, n_rhs, block):
+    """B-wide RHS blocks per pipeline round == per-RHS single-device sweeps
+    (the block form streams each pivot plane once per B columns)."""
+    if len(jax.devices()) < n_dev:
+        pytest.skip(f"needs >= {n_dev} devices")
+    grid, slabs = slabs4
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("slab",))
+    slabs_sharded = shard_slab_system(slabs, mesh)
+
+    rng = np.random.default_rng(n_dev * 100 + n_rhs + block)
+    B = jnp.asarray(
+        rng.standard_normal((n_rhs, grid.size))
+        + 1j * rng.standard_normal((n_rhs, grid.size))
+    )
+    got = np.asarray(
+        sharded_gs_sweep_pipelined(slabs_sharded, B, mesh, rhs_block=block)
+    )
+    assert got.shape == B.shape
+    for r in range(n_rhs):
+        ref = np.asarray(gs_sweep(slabs, B[r]))
+        np.testing.assert_allclose(got[r], ref, rtol=1e-10, atol=1e-12)
