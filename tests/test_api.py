@@ -42,3 +42,27 @@ def test_api_bad_precond_raises():
         api.build_problem(ProblemConfig(precond="typo"))
     with pytest.raises(ValueError, match="3D supports"):
         api.build_problem(ProblemConfig(dim=3, precond="double_sweep"))
+
+
+@pytest.mark.parametrize("precond", ["sparsifying", "double_sweep"])
+def test_api_solve_batched_matches_single(precond):
+    """solve_problem_batched (joint gmres_batched; apply_batch for sweeps,
+    vmapped apply otherwise) == per-direction solve_problem."""
+    cfg = ProblemConfig(
+        dim=2, medium="gaussian_bump", h=1.0 / 40.0, precond=precond,
+        solver=SolverConfig(rtol=1e-8, maxiter=40, dtype=jnp.complex128),
+        ddm=DDMConfig(n_subdomains=2, npml=6),
+    )
+    problem = api.build_problem(cfg)
+    dirs = [(1.0, 0.0), (0.0, 1.0)]
+    ub, infob = api.solve_problem_batched(problem, dirs)
+    for i, d in enumerate(dirs):
+        cfg_i = ProblemConfig(
+            dim=2, medium="gaussian_bump", h=1.0 / 40.0, precond=precond,
+            incident_direction=d,
+            solver=SolverConfig(rtol=1e-8, maxiter=40, dtype=jnp.complex128),
+            ddm=DDMConfig(n_subdomains=2, npml=6),
+        )
+        u, info = api.solve_problem(api.build_problem(cfg_i))
+        err = np.max(np.abs(fetch(ub[i]) - fetch(u)))
+        assert err < 1e-8 * np.max(np.abs(fetch(u))), err
