@@ -155,10 +155,9 @@ def jacobi_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
 
     if slabs.pfac is not None:
         def _solve_all(rhs_all):
-            return jax.lax.map(
-                lambda si: pt.solve(slabs.pfac, si[0], si[1]),
-                (idx, rhs_all),
-            )
+            # one batched kernel launch over all slabs (each pivot plane
+            # streamed once), not a lax.map of per-slab solves
+            return pt.solve_all(slabs.pfac, idx, rhs_all)
 
         def _solve_one(i, rhs, tail=0):
             return pt.solve(slabs.pfac, i, rhs, tail=tail)

@@ -359,7 +359,13 @@ def _from_rows(rows: jnp.ndarray, n: int, dtype, m: int,
 def solve(fac: PallasFactorization, s_idx, b: jnp.ndarray, tail: int = 0,
           interpret: bool | None = None) -> jnp.ndarray:
     """``S x = b`` for slab ``s_idx`` (traced scalar ok); semantics of
-    ``direct.block_thomas_solve(_tail)``."""
+    ``direct.block_thomas_solve(_tail)``.  Multi-RHS (m, n, r) dispatches
+    to the batched kernels (one pivot stream for all r columns)."""
+    if b.ndim == 3:
+        return solve_all(
+            fac, jnp.asarray(s_idx, jnp.int32).reshape(1), b[None],
+            tail=tail, interpret=interpret,
+        )[0]
     s = jnp.asarray(s_idx, jnp.int32).reshape(1)
     dtype = b.dtype
     b2 = _to_rows(fac, b)
@@ -455,7 +461,13 @@ def solve_support(fac: PallasFactorization, s_idx, b: jnp.ndarray,
                   start: int = 0, tail: int = 0,
                   interpret: bool | None = None) -> jnp.ndarray:
     """Solve with b zero on lines < ``start``
-    (``block_thomas_solve_support``)."""
+    (``block_thomas_solve_support``); multi-RHS (m, n, r) dispatches to
+    the batched kernels."""
+    if b.ndim == 3:
+        return solve_all(
+            fac, jnp.asarray(s_idx, jnp.int32).reshape(1), b[None],
+            start=start, tail=tail, interpret=interpret,
+        )[0]
     m = fac.m
     if start <= 0 or start >= m:
         return solve(fac, s_idx, b, tail=tail, interpret=interpret)
