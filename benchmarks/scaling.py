@@ -141,17 +141,53 @@ def roofline(n=801, m1=91, S=16, n_rhs=8, pivot_bytes=2 * 2,
     return out
 
 
+def roofline_blocked(n=801, m1=91, S=16, n_rhs=64, blocks=(1, 2, 4, 8, 16),
+                     pivot_bytes=2 * 2, hbm_bw=1.2e12, ici_bw=9e10,
+                     mxu_flops=2e14, latency_per_round=2e-6):
+    """Blocked-schedule model (``rhs_block=B``): a B-wide local solve
+    streams the pivot stack ONCE (measured: 2-RHS apply == 1-RHS apply at
+    801, RESULTS.md), so R sources ride as RB = ceil(R/B) blocks in
+    2 (D + RB - 1) rounds.  The honest single-chip baseline also blocks
+    (RB block-sweeps), so efficiency = RB / (D + RB - 1) in blocks; the
+    compute ridge caps useful B at ~mxu_flops/hbm_bw/8 per f32 column
+    pair.  Prints wall-clock and efficiency vs the BLOCKED single chip.
+    """
+    bytes_per_solve = m1 * n * n * pivot_bytes
+    t_stream = 1.5 * bytes_per_solve / hbm_bw
+    t_trace = 2 * 8 * n / ici_bw + latency_per_round
+    ridge_b = int(mxu_flops / hbm_bw / 8)       # B where matmul ~ stream
+    print(f"\nblocked roofline (R={n_rhs} sources; compute ridge at "
+          f"B~{ridge_b}):")
+    print("  D    B   RB   rounds   t_sweep_ms   eff vs blocked 1-chip")
+    for D in (2, 4, 8, 16):
+        if S % D:
+            continue
+        k = S // D
+        for B in blocks:
+            t_local = max(t_stream, 2 * m1 * 8 * n * n * B / mxu_flops)
+            RB = -(-n_rhs // B)
+            rounds = 2 * (D + RB - 1)
+            t = 2 * rounds * (k * t_local + t_trace)
+            t1 = 2 * 2 * RB * S * t_local        # blocked single chip
+            print(f"  {D:2d}  {B:3d}  {RB:3d}   {rounds:4d}   "
+                  f"{t*1e3:9.2f}   {t1/(D*t):.2%}")
+    return None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--h", type=float, default=1.0 / 100.0)
     ap.add_argument("--subs", type=int, default=8)
     ap.add_argument("--rhs", type=int, default=8)
+    ap.add_argument("--sources", type=int, default=64,
+                    help="source count for the blocked-schedule model")
     ap.add_argument("--skip-mesh", action="store_true")
     args = ap.parse_args()
     if not args.skip_mesh:
         measure_virtual_mesh(args.h, args.subs, args.rhs)
     # headline 801x801 config and the reference's own 16-slab layout
     roofline(n=801, m1=91, S=16, n_rhs=args.rhs)
+    roofline_blocked(n=801, m1=91, S=16, n_rhs=args.sources)
 
 
 if __name__ == "__main__":
