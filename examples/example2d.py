@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--h", type=float, default=0.005)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--x64", action="store_true")
+    ap.add_argument("--save-field", metavar="BASE", default="bump2d_field",
+                    help="write BASE.npz/.png of the solution "
+                         "(the reference driver's imshow, example.jl:96-98); "
+                         "'' disables")
     args = ap.parse_args()
 
     import jax
@@ -57,6 +61,13 @@ def main():
         res2 = fetch(info2.residuals)
     print(f"unpreconditioned: {int(fetch(info2.n_iterations)[()])} iterations")
     print("residuals (first 20):", res2[res2 > 0][:20])
+    if args.save_field:
+        from fast_solver_lippmann_schwinger_tpu.utils.fields import save_field
+
+        files = save_field(args.save_field, fetch(u), problem.grid.shape,
+                           residuals=res,
+                           title=f"bump2d {problem.grid.shape} k={problem.k:g}")
+        print("field artifacts:", " ".join(files))
     timer.log(grid=problem.grid.shape, k=problem.k)
 
 

@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--x64", action="store_true")
     ap.add_argument("--rtol", type=float, default=1e-8)
     ap.add_argument("--maxiter", type=int, default=100)
+    ap.add_argument("--save-field", metavar="BASE", default="bump3d_field",
+                    help="write BASE.npz/.png (middle z-slice); '' disables")
     args = ap.parse_args()
 
     import jax
@@ -65,6 +67,13 @@ def main():
         res = fetch(info.residuals)
     print(f"iterations: {int(fetch(info.n_iterations)[()])}")
     print("residuals:", res[res > 0])
+    if args.save_field:
+        from fast_solver_lippmann_schwinger_tpu.utils.fields import save_field
+
+        files = save_field(args.save_field, fetch(u), problem.grid.shape,
+                           residuals=res,
+                           title=f"bump3d {problem.grid.shape} k={problem.k:g}")
+        print("field artifacts:", " ".join(files))
     timer.log(grid=problem.grid.shape, k=problem.k)
 
 

@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--lr", type=float, default=3e-2)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--x64", action="store_true")
+    ap.add_argument("--save-field", metavar="BASE", default="inverse2d_field",
+                    help="write BASE.npz/.png of recovered vs true medium; "
+                         "'' disables")
     args = ap.parse_args()
 
     import jax
@@ -97,6 +100,12 @@ def main():
     print("final relative medium error:",
           float(np.linalg.norm(fetch(nu) - np.asarray(nu_true))
                 / np.linalg.norm(np.asarray(nu_true))))
+    if args.save_field:
+        from fast_solver_lippmann_schwinger_tpu.utils.fields import save_field
+
+        files = save_field(args.save_field, fetch(nu), grid.shape,
+                           title="inverse2d: recovered medium nu")
+        print("field artifacts:", " ".join(files))
 
 
 if __name__ == "__main__":

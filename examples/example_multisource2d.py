@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--rhs-block", type=int, default=1)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--x64", action="store_true")
+    ap.add_argument("--save-field", metavar="BASE",
+                    default="multisource2d_field",
+                    help="write BASE.npz/.png of the first direction's "
+                         "field; '' disables")
     args = ap.parse_args()
 
     import jax
@@ -115,6 +119,14 @@ def main():
         print(f"  dir ({dirs[r,0]:+.2f},{dirs[r,1]:+.2f}): "
               f"{res[r][res[r] > 0][-1]:.2e} preconditioned residual after "
               f"{iters[r]} iters")
+    if args.save_field:
+        from fast_solver_lippmann_schwinger_tpu.utils.fields import save_field
+
+        files = save_field(args.save_field, fetch(x[0]), problem.grid.shape,
+                           residuals=res[0],
+                           title=f"multisource plasma {problem.grid.shape} "
+                                 f"k={problem.k:g} dir 0")
+        print("field artifacts:", " ".join(files))
 
 
 if __name__ == "__main__":

@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--npml", type=int, default=10)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--x64", action="store_true")
+    ap.add_argument("--save-field", metavar="BASE", default="plasma2d_field",
+                    help="write BASE_<dir>.npz/.png per incident direction "
+                         "(the reference driver's plots); '' disables")
     args = ap.parse_args()
 
     import jax
@@ -56,6 +59,19 @@ def main():
             f"{int(fetch(info.n_iterations)[()])}"
         )
         print("residual history:", res[res > 0])
+        if args.save_field:
+            from fast_solver_lippmann_schwinger_tpu.utils.fields import (
+                save_field,
+            )
+
+            tag = f"{direction[0]:g}_{direction[1]:g}".replace("-", "m")
+            files = save_field(
+                f"{args.save_field}_{tag}", fetch(u), problem.grid.shape,
+                residuals=res,
+                title=f"plasma {problem.grid.shape} k={problem.k:g} "
+                      f"dir={direction}",
+            )
+            print("field artifacts:", " ".join(files))
     timer.log(grid=problem.grid.shape, k=problem.k, n_subs=args.subs)
 
 

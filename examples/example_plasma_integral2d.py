@@ -24,6 +24,10 @@ def main():
                     choices=["trapezoidal", "greengard_vico"])
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--x64", action="store_true")
+    ap.add_argument("--save-field", metavar="BASE",
+                    default="plasma_integral2d_field",
+                    help="write BASE_<dir>.npz/.png per direction; "
+                         "'' disables")
     args = ap.parse_args()
 
     import jax
@@ -60,6 +64,19 @@ def main():
             f"{int(fetch(info.n_iterations)[()])}"
         )
         print("residual history:", res[res > 0])
+        if args.save_field:
+            from fast_solver_lippmann_schwinger_tpu.utils.fields import (
+                save_field,
+            )
+
+            tag = f"{direction[0]:g}_{direction[1]:g}".replace("-", "m")
+            files = save_field(
+                f"{args.save_field}_{tag}", fetch(u), problem.grid.shape,
+                residuals=res,
+                title=f"plasma integral {problem.grid.shape} "
+                      f"k={problem.k:g} dir={direction}",
+            )
+            print("field artifacts:", " ".join(files))
     timer.log(grid=problem.grid.shape, k=problem.k, n_subs=args.subs)
 
 

@@ -28,8 +28,15 @@ def main(argv=None):
     ap.add_argument("--k", type=float)
     ap.add_argument("--quad", choices=["trapezoidal", "greengard_vico"])
     ap.add_argument("--precond", choices=[
-        "sparsifying", "gs", "double_sweep", "polarized_traces", "none",
+        "sparsifying", "gs", "gs_inner", "double_sweep",
+        "double_sweep_inner", "polarized_traces", "none",
     ])
+    ap.add_argument("--inner-maxiter", type=int,
+                    help="inner-GMRES restart length for *_inner preconds "
+                         "(reference maxIter, default 20)")
+    ap.add_argument("--inner-tol", type=float,
+                    help="inner-GMRES tolerance for *_inner preconds "
+                         "(reference tol, default 1e-2)")
     ap.add_argument("--pivot-dtype", choices=["full", "bf16", "banded", "pallas", "pallas_int8"])
     ap.add_argument("--pivot-band", type=int,
                     help="band width for --pivot-dtype banded")
@@ -41,6 +48,10 @@ def main(argv=None):
                     help="incident direction components")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--x64", action="store_true")
+    ap.add_argument("--save-field", metavar="BASE",
+                    help="write the solution field + residual history to "
+                         "BASE.npz and BASE.png (the reference drivers' "
+                         "imshow role, examples/example.jl:96-98)")
     args = ap.parse_args(argv)
 
     import jax
@@ -81,6 +92,10 @@ def main(argv=None):
         ddm_kw["n_subdomains"] = args.subs
     if args.npml is not None:
         ddm_kw["npml"] = args.npml
+    if args.inner_maxiter is not None:
+        ddm_kw["inner_gmres_maxiter"] = args.inner_maxiter
+    if args.inner_tol is not None:
+        ddm_kw["inner_gmres_tol"] = args.inner_tol
     for flag, key in [
         ("dim", "dim"), ("medium", "medium"), ("h", "h"), ("k", "k"),
         ("quad", "quad_rule"), ("precond", "precond"),
@@ -111,6 +126,15 @@ def main(argv=None):
         res = fetch(info.residuals)
     print(f"iterations to convergence: {int(fetch(info.n_iterations)[()])}")
     print("residual history:", res[res > 0])
+    if args.save_field:
+        from fast_solver_lippmann_schwinger_tpu.utils.fields import save_field
+
+        files = save_field(
+            args.save_field, fetch(u), problem.grid.shape, residuals=res,
+            title=f"{cfg.medium} {problem.grid.shape} k={problem.k:g} "
+                  f"precond={cfg.precond}",
+        )
+        print("field artifacts:", " ".join(files))
     timer.log(grid=list(problem.grid.shape), k=problem.k,
               precond=cfg.precond)
 

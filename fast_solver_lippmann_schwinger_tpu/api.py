@@ -10,6 +10,7 @@ Also the engine behind ``python -m fast_solver_lippmann_schwinger_tpu``.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -134,7 +135,8 @@ def build_problem(cfg: ProblemConfig) -> Problem:
         )
         msp = stencils.build_msp_2d(a_st, ag_st, nu, k)
         precond = SparsifyingPreconditioner.build(msp, a_st)
-    elif cfg.precond in ("gs", "double_sweep", "polarized_traces"):
+    elif cfg.precond in ("gs", "gs_inner", "double_sweep",
+                         "double_sweep_inner", "polarized_traces"):
         a_st, ag_st, a_np, ag_np = stencils.build_sparse_a_ag_2d(
             k, grid.x, grid.y, cfg.h, dtype=dtype, return_host=True,
             cache_dir=cfg.cache_dir,
@@ -149,6 +151,17 @@ def build_problem(cfg: ProblemConfig) -> Problem:
         )
         if cfg.precond == "gs":
             precond = SingleSweepPreconditioner(slabs=slabs, a_s=a_st)
+        elif cfg.precond == "gs_inner":
+            from fast_solver_lippmann_schwinger_tpu.ddm.sweeps import (
+                GSPreconditioner,
+                InnerGMRESPreconditioner,
+            )
+
+            precond = InnerGMRESPreconditioner(
+                msp=msp, a_s=a_st, sweep=GSPreconditioner(slabs=slabs),
+                max_iter=cfg.ddm.inner_gmres_maxiter,
+                tol=cfg.ddm.inner_gmres_tol,
+            )
         elif cfg.precond == "polarized_traces":
             precond = PolarizedTracesPreconditioner(
                 slabs=slabs, a_s=a_st, n_it=cfg.ddm.n_inner_iters,
@@ -166,13 +179,26 @@ def build_problem(cfg: ProblemConfig) -> Problem:
                 pivot_dtype=cfg.pivot_dtype,
                 pivot_band=cfg.pivot_band, cache_dir=cfg.cache_dir,
             )
-            precond = DoubleSweepPreconditioner(
+            double = DoubleSweepPreconditioner(
                 slabs=slabs, slabs_t=slabs_t, msp=msp, a_s=a_st
             )
+            if cfg.precond == "double_sweep_inner":
+                from fast_solver_lippmann_schwinger_tpu.ddm.sweeps import (
+                    InnerGMRESPreconditioner,
+                )
+
+                precond = InnerGMRESPreconditioner(
+                    msp=msp, a_s=a_st, sweep=double,
+                    max_iter=cfg.ddm.inner_gmres_maxiter,
+                    tol=cfg.ddm.inner_gmres_tol,
+                )
+            else:
+                precond = double
     else:
         raise ValueError(
             f"unknown precond {cfg.precond!r}; expected one of "
-            "sparsifying | gs | double_sweep | polarized_traces | none"
+            "sparsifying | gs | gs_inner | double_sweep | "
+            "double_sweep_inner | polarized_traces | none"
         )
     return Problem(config=cfg, grid=grid, k=k, op=op, precond=precond)
 
@@ -191,6 +217,41 @@ def incident_field(problem: Problem) -> jnp.ndarray:
     return to_device_complex(np.exp(1j * problem.k * phase), dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _solve_jit(rtol: float, restart: int, maxiter: int):
+    """One jitted solve per solver budget: the operator/preconditioner
+    pytrees are ARGUMENTS, so repeated :func:`solve_problem` calls in one
+    process reuse the compiled executable instead of re-tracing a fresh
+    closure each time."""
+
+    def run(op, precond, ui):
+        rhs = -(op.apply(ui) - ui)
+        pre = precond.apply if precond is not None else None
+        return gmres(op.apply, rhs, preconditioner=pre,
+                     rtol=rtol, restart=restart, maxiter=maxiter)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def _solve_batched_jit(rtol: float, restart: int, maxiter: int):
+    from fast_solver_lippmann_schwinger_tpu.solver.gmres import gmres_batched
+
+    def run(op, precond, uis):
+        apply_b = jax.vmap(op.apply)
+        rhs = -(apply_b(uis) - uis)
+        if precond is None:
+            pre = None
+        elif hasattr(precond, "apply_batch"):
+            pre = precond.apply_batch
+        else:
+            pre = jax.vmap(precond.apply)
+        return gmres_batched(apply_b, rhs, preconditioner=pre,
+                             rtol=rtol, restart=restart, maxiter=maxiter)
+
+    return jax.jit(run)
+
+
 def solve_problem(problem: Problem, u_inc: Optional[jnp.ndarray] = None):
     """Scattering solve ``M u = -k^2 G conv (nu u_inc)`` == ``-(M-I) u_inc``.
 
@@ -199,15 +260,8 @@ def solve_problem(problem: Problem, u_inc: Optional[jnp.ndarray] = None):
     cfg = problem.config.solver
     if u_inc is None:
         u_inc = incident_field(problem)
-    pc = problem.precond
-
-    def run(op, precond, ui):
-        rhs = -(op.apply(ui) - ui)
-        pre = precond.apply if precond is not None else None
-        return gmres(op.apply, rhs, preconditioner=pre,
-                     rtol=cfg.rtol, restart=cfg.restart, maxiter=cfg.maxiter)
-
-    return jax.jit(run)(problem.op, pc, u_inc)
+    run = _solve_jit(cfg.rtol, cfg.restart, cfg.maxiter)
+    return run(problem.op, problem.precond, u_inc)
 
 
 def solve_problem_batched(problem: Problem, directions):
@@ -220,8 +274,6 @@ def solve_problem_batched(problem: Problem, directions):
     RESULTS.md); other preconditioners fall back to a vmapped apply.
     Returns ``(u, GMRESInfo)`` with leading batch axes.
     """
-    from fast_solver_lippmann_schwinger_tpu.solver.gmres import gmres_batched
-
     cfg = problem.config.solver
     dtype = problem.op.symbol.dtype
     d = np.asarray(directions, dtype=np.float64)
@@ -231,19 +283,5 @@ def solve_problem_batched(problem: Problem, directions):
         d[:, i : i + 1] * ax.ravel()[None] for i, ax in enumerate(mesh)
     )
     u_inc = to_device_complex(np.exp(1j * problem.k * phase), dtype)
-    pc = problem.precond
-    if pc is None:
-        pre_of = lambda precond: None
-    elif hasattr(pc, "apply_batch"):
-        pre_of = lambda precond: precond.apply_batch
-    else:
-        pre_of = lambda precond: jax.vmap(precond.apply)
-
-    def run(op, precond, uis):
-        apply_b = jax.vmap(op.apply)
-        rhs = -(apply_b(uis) - uis)
-        return gmres_batched(apply_b, rhs, preconditioner=pre_of(precond),
-                             rtol=cfg.rtol, restart=cfg.restart,
-                             maxiter=cfg.maxiter)
-
-    return jax.jit(run)(problem.op, pc, u_inc)
+    run = _solve_batched_jit(cfg.rtol, cfg.restart, cfg.maxiter)
+    return run(problem.op, problem.precond, u_inc)

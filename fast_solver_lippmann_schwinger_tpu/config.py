@@ -51,6 +51,15 @@ class DDMConfig:
     n_inner_iters: int = 1       # ``nIt`` for the trace-space preconditioner
     inner_tol: float = 1e-2      # inner GMRES tolerance (polarized traces)
     inner_maxiter: int = 40
+    # inner-GMRES composite knobs (``precond="gs_inner"`` /
+    # ``"double_sweep_inner"``): one restart cycle of length
+    # ``inner_gmres_maxiter`` on ``Msp y = As b`` preconditioned by the
+    # sweep — the reference's ``Preconditioner``
+    # (``src/preconditioner.jl:92-116,186-204``) and the ``maxIter != 0``
+    # branch of ``doublePreconditioner`` (``:228-244``, defaults
+    # ``maxIter=20, tol=1e-2``).
+    inner_gmres_maxiter: int = 20
+    inner_gmres_tol: float = 1e-2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,9 +69,12 @@ class ProblemConfig:
 
     ``precond`` mirrors the reference's preconditioner families:
     ``sparsifying`` (``SparsifyingPreconditioner``), ``gs`` (one
-    single-direction sweep, ``GSPreconditioner``), ``double_sweep``
-    (``doublePreconditioner`` with maxIter=0), ``polarized_traces``
-    (trace-space inner GMRES), or ``none``.
+    single-direction sweep, ``GSPreconditioner``), ``gs_inner`` (inner
+    GMRES on the sparsified system preconditioned by the GS sweep — the
+    reference's ``Preconditioner``), ``double_sweep``
+    (``doublePreconditioner`` with maxIter=0), ``double_sweep_inner``
+    (its ``maxIter != 0`` branch), ``polarized_traces`` (trace-space
+    inner GMRES), or ``none``.
     """
 
     dim: int = 2                       # 2 or 3

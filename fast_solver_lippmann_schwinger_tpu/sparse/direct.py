@@ -85,7 +85,8 @@ class BlockTridiagFactorizationBanded:
     traffic (n*w instead of n^2 per line) — and the apply lowers to fused
     shifted multiply-adds instead of a gather-fed matmul.  The approximation
     only perturbs the PRECONDITIONER; outer GMRES convergence is the quality
-    metric (see tests/test_banded_pivots.py).
+    metric (pinned in ``tests/test_stencils.py::test_banded_pivot_quality``;
+    measured across widths in ``benchmarks/banded_quality.py``).
     """
 
     band_re: jnp.ndarray   # (m, n, w) bfloat16

@@ -17,7 +17,9 @@ from fast_solver_lippmann_schwinger_tpu.utils.host import fetch
     ("sparsifying", "greengard_vico"),
     ("sparsifying", "trapezoidal"),
     ("gs", "greengard_vico"),
+    ("gs_inner", "greengard_vico"),
     ("double_sweep", "greengard_vico"),
+    ("double_sweep_inner", "greengard_vico"),
     ("polarized_traces", "greengard_vico"),
     ("none", "greengard_vico"),
 ])
@@ -35,6 +37,11 @@ def test_api_all_preconditioners(precond, quad):
     iters = int(fetch(info.n_iterations)[()])
     if precond != "none":
         assert iters < 30, f"{precond}: {iters} iterations"
+    if precond.endswith("_inner"):
+        # the inner-GMRES composites (reference ``Preconditioner`` /
+        # ``doublePreconditioner`` maxIter != 0) solve the sparsified
+        # system nearly exactly per outer apply — pin the outer count
+        assert iters <= 8, f"{precond}: {iters} outer iterations"
 
 
 def test_api_bad_precond_raises():
