@@ -59,26 +59,14 @@ def _axis_mask(cat: int, size: int) -> np.ndarray:
     return (idx > 0) & (idx < size - 1)
 
 
-def build_annihilator_classes(
-    sampler: Callable[[np.ndarray], np.ndarray],
-    shape: Sequence[int],
-):
-    """Compute per-class annihilator rows and local Green's blocks.
-
-    ``sampler(flat_indices) -> (len(indices), N)`` returns rows of the dense
-    quadrature matrix G.  ``shape`` is the grid shape, slowest axis first
-    (e.g. ``(m, n)`` in 2D).
-
-    Returns a list of dicts with keys ``cats``, ``offsets`` (tuples, per grid
-    axis, slowest first), ``a_row`` (s,), ``ag_row`` (s,).
-    """
+def _class_defs(shape):
+    """Enumerate boundary classes: per-class category tuple, stencil
+    offsets, and flat grid indices of the representative stencil."""
     shape = tuple(shape)
     ndim = len(shape)
-    N = int(np.prod(shape))
     strides = np.array(
         [int(np.prod(shape[d + 1 :])) for d in range(ndim)], dtype=np.int64
     )
-
     class_defs = []
     for cats in itertools.product((_LO, _MID, _HI), repeat=ndim):
         offsets = list(
@@ -90,13 +78,50 @@ def build_annihilator_classes(
             dtype=np.int64,
         )
         class_defs.append((cats, offsets, flat))
+    return class_defs
 
+
+def _uniq_indices(class_defs):
     # ONE sampler call for every class: deduplicated union of all stencil
     # indices.  Per-class sampling would cost one dispatch per class (27 in
     # 3D) with 4 distinct impulse-count shapes — each a separate multi-minute
     # remote compile on the tunnel backend.
     all_flat = np.concatenate([flat for _, _, flat in class_defs])
-    uniq, inverse = np.unique(all_flat, return_inverse=True)
+    return np.unique(all_flat, return_inverse=True)
+
+
+def _annihilator_from_gram(c_far: np.ndarray, g_near: np.ndarray):
+    """(a_row, ag_row) from the far-field Gram matrix and the near block.
+
+    The smallest-eigenvalue eigenvector of ``C = W W^H`` equals the last
+    left singular vector of ``W`` (up to phase — an SVD gauge the
+    preconditioner is invariant to, see module docstring)."""
+    c = np.asarray(c_far, dtype=np.complex128)
+    c = 0.5 * (c + np.conj(c.T))          # exact Hermitian for eigh
+    _, vecs = np.linalg.eigh(c)
+    a_row = np.conj(vecs[:, 0])
+    ag_row = a_row @ np.asarray(g_near, dtype=np.complex128)
+    return a_row, ag_row
+
+
+def build_annihilator_classes(
+    sampler: Callable[[np.ndarray], np.ndarray],
+    shape: Sequence[int],
+):
+    """Compute per-class annihilator rows and local Green's blocks from a
+    HOST sampler (analytic Duan-Rokhlin rows).
+
+    ``sampler(flat_indices) -> (len(indices), N)`` returns rows of the dense
+    quadrature matrix G.  ``shape`` is the grid shape, slowest axis first
+    (e.g. ``(m, n)`` in 2D).
+
+    Returns a list of dicts with keys ``cats``, ``offsets`` (tuples, per grid
+    axis, slowest first), ``a_row`` (s,), ``ag_row`` (s,).
+    """
+    shape = tuple(shape)
+    N = int(np.prod(shape))
+    class_defs = _class_defs(shape)
+    uniq, inverse = _uniq_indices(class_defs)
     g_uniq = np.asarray(sampler(uniq))  # (len(uniq), N) complex
 
     classes = []
@@ -112,6 +137,100 @@ def build_annihilator_classes(
         u, _, _ = np.linalg.svd(w, full_matrices=False)
         a_row = np.conj(u[:, -1])
         ag_row = a_row @ g_rows[:, flat]
+        classes.append(
+            dict(cats=cats, offsets=offsets, a_row=a_row, ag_row=ag_row)
+        )
+    return classes
+
+
+def _class_grams_device(rows, row_idx, col_idx, col_valid):
+    """One jitted pass over classes: per class, the s_max x s_max far-field
+    Gram ``C = G G^H - G_near G_near^H`` and the near block ``G_near``.
+
+    ``rows`` (U, N) stays ON DEVICE — this is the whole point: the host
+    never sees an N-wide array (SURVEY.md section 2.3 "LAPACK -> batched
+    device SVD"; the old path fetched multi-GB row blocks through the
+    tunnel and was the dominant 3D setup cost, 259-284 s at 96^3)."""
+
+    def one_class(_, idx):
+        ri, ci, valid = idx
+        g = rows[ri]                      # (s_max, N)
+        near = g[:, ci]                   # (s_max, s_max)
+        c_full = jnp.einsum(
+            "in,jn->ij", g, jnp.conj(g),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        # padded column slots repeat column 0 — mask them so the near-field
+        # subtraction counts each true stencil column exactly once
+        near_m = jnp.where(valid[None, :], near, 0.0)
+        c_near = jnp.einsum(
+            "ik,jk->ij", near_m, jnp.conj(near_m),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return None, (c_full - c_near, near)
+
+    _, (c_far, g_near) = jax.lax.scan(
+        one_class, None, (row_idx, col_idx, col_valid)
+    )
+    return c_far, g_near
+
+
+_class_grams_jit = jax.jit(_class_grams_device)
+
+
+def build_annihilator_classes_conv(conv_op, shape: Sequence[int]):
+    """Device-side annihilator construction through a fast operator.
+
+    Replaces the host-SVD path for impulse-sampled Green's rows
+    (``entriesSparseAConv``/``entriesSparseA3D`` semantics,
+    ``src/SparsifyingMatrix2D.jl:104-201``,
+    ``src/SparsifyingMatrix3D.jl:1136-1408``): rows are sampled on device
+    (``sample_g_columns``), each class's s x s far-field Gram accumulates
+    on device in one jitted program, and only the tiny Gram/near blocks
+    (27 x 27 x 27 at most) cross to the host for a complex128 ``eigh``.
+    """
+    from fast_solver_lippmann_schwinger_tpu.ops.fastconv import sample_g_columns
+    from fast_solver_lippmann_schwinger_tpu.utils.host import fetch
+
+    shape = tuple(shape)
+    class_defs = _class_defs(shape)
+    uniq, inverse = _uniq_indices(class_defs)
+    rows = sample_g_columns(conv_op, uniq)          # (U, N) device
+
+    s_max = max(len(flat) for _, _, flat in class_defs)
+    ncls = len(class_defs)
+    row_idx = np.zeros((ncls, s_max), dtype=np.int32)
+    col_idx = np.zeros((ncls, s_max), dtype=np.int32)
+    col_valid = np.zeros((ncls, s_max), dtype=bool)
+    pos = 0
+    for c, (_, _, flat) in enumerate(class_defs):
+        s = len(flat)
+        row_idx[c, :s] = inverse[pos : pos + s]
+        col_idx[c, :s] = flat
+        col_valid[c, :s] = True
+        pos += s
+    # padding rows repeat entry 0; they only touch C/near entries at
+    # indices >= s, which the per-class [:s, :s] slice below never reads
+    # (padded COLUMNS would corrupt the near-field subtraction inside the
+    # [:s, :s] block, hence the explicit col_valid mask)
+
+    c_far, g_near = _class_grams_jit(
+        rows, jnp.asarray(row_idx), jnp.asarray(col_idx),
+        jnp.asarray(col_valid),
+    )
+    c_far_h = fetch(c_far)
+    g_near_h = fetch(g_near)
+    try:
+        rows.delete()   # multi-GB at 3D scale; the slab factorizations
+    except Exception:   # noqa: BLE001 — backend without delete support
+        pass            # that follow need the whole chip
+
+    classes = []
+    for c, (cats, offsets, flat) in enumerate(class_defs):
+        s = len(flat)
+        a_row, ag_row = _annihilator_from_gram(
+            c_far_h[c, :s, :s], g_near_h[c, :s, :s]
+        )
         classes.append(
             dict(cats=cats, offsets=offsets, a_row=a_row, ag_row=ag_row)
         )
@@ -147,32 +266,6 @@ def _assemble_fields(classes, shape, stencil_extent=3):
 
 def _sampler_2d_trapezoidal(k, X, Y, d0, h):
     return lambda idx: greens.sample_g_rows_2d(k, X.ravel(), Y.ravel(), idx, d0, h)
-
-
-def _sampler_conv(op):
-    from fast_solver_lippmann_schwinger_tpu.ops.fastconv import sample_g_columns
-    from fast_solver_lippmann_schwinger_tpu.utils.host import fetch
-
-    def sample(idx):
-        rows = sample_g_columns(op, idx)
-        c, size = rows.shape
-        # tunnel-safe fetch: slabs of <= ~24 MB complex64 per transfer
-        per = max(1, int(3_000_000 // max(size, 1)))
-        if c <= per:
-            out = fetch(rows).astype(np.complex128)
-        else:
-            out = np.empty((c, size), dtype=np.complex128)
-            for i0 in range(0, c, per):
-                out[i0 : i0 + per] = fetch(rows[i0 : i0 + per])
-        # free the device rows eagerly: at 3D scale they are multi-GB and
-        # the slab factorization that follows needs the whole chip
-        try:
-            rows.delete()
-        except Exception:  # noqa: BLE001 — backend without delete support
-            pass
-        return out
-
-    return sample
 
 
 def build_sparse_a_ag_2d(
@@ -229,9 +322,9 @@ def build_sparse_a_ag_2d(
     X, Y = np.meshgrid(np.asarray(x), np.asarray(y), indexing="xy")
     if conv_op is None:
         sampler = _sampler_2d_trapezoidal(k, X, Y, d0, h)
+        classes = build_annihilator_classes(sampler, (m, n))
     else:
-        sampler = _sampler_conv(conv_op)
-    classes = build_annihilator_classes(sampler, (m, n))
+        classes = build_annihilator_classes_conv(conv_op, (m, n))
     a_field, ag_field = _assemble_fields(classes, (m, n))
     if cache_path is not None:
         from fast_solver_lippmann_schwinger_tpu.utils import checkpoint
@@ -292,8 +385,7 @@ def build_sparse_a_ag_3d(
                 StencilMatrix3D(values=to_device_complex(cached[0], dtype)),
                 StencilMatrix3D(values=to_device_complex(cached[1], dtype)),
             )
-    sampler = _sampler_conv(conv_op)
-    classes = build_annihilator_classes(sampler, shape)
+    classes = build_annihilator_classes_conv(conv_op, shape)
     a_field, ag_field = _assemble_fields(classes, shape)
     if cache_path is not None:
         from fast_solver_lippmann_schwinger_tpu.utils import checkpoint

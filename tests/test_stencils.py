@@ -55,6 +55,44 @@ def test_annihilator_quality(problem):
     assert rel < 0.15  # annihilation quality of the 3x3 stencil (coarse grid)
 
 
+def test_device_gram_matches_host_svd():
+    """The device-Gram annihilator path (``build_annihilator_classes_conv``)
+    must agree with the explicit host SVD of the sampled far-field rows up
+    to the per-class SVD phase gauge."""
+    from fast_solver_lippmann_schwinger_tpu.ops.fastconv import (
+        sample_g_columns,
+    )
+
+    grid = Grid2D(a=1.0, h=1.0 / 20.0)
+    k = 1.0 / grid.h
+    X, Y = grid.mesh()
+    nu = media.gaussian_bump_2d(X, Y)
+    op = build_fast_convolution_2d(
+        grid.x, grid.y, grid.h, k, nu, quad_rule="greengard_vico",
+        dtype=jnp.complex128,
+    )
+    got = stencils.build_annihilator_classes_conv(op, grid.shape)
+
+    def host_sampler(idx):
+        return np.asarray(sample_g_columns(op, idx)).astype(np.complex128)
+
+    want = stencils.build_annihilator_classes(host_sampler, grid.shape)
+    assert len(got) == len(want) == 9
+    for g, w in zip(got, want):
+        assert g["cats"] == w["cats"]
+        # align the arbitrary phase on the largest-magnitude entry
+        i = int(np.argmax(np.abs(w["a_row"])))
+        phase = w["a_row"][i] / g["a_row"][i]
+        assert abs(abs(phase) - 1.0) < 1e-8
+        np.testing.assert_allclose(
+            g["a_row"] * phase, w["a_row"], rtol=0, atol=1e-8
+        )
+        np.testing.assert_allclose(
+            g["ag_row"] * phase, w["ag_row"], rtol=0,
+            atol=1e-8 * np.max(np.abs(w["ag_row"])),
+        )
+
+
 def test_ag_matches_a_times_g_on_pattern(problem):
     """On the stencil pattern, AG entries must equal (A G) exactly."""
     grid, k, X, Y, nu, a_st, ag_st = problem
