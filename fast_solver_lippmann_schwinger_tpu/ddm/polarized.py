@@ -68,14 +68,16 @@ def _solve_batched(slabs, rhs, start: int = 0):
 
 
 def _devectorize(slabs: SlabSystem, u_gamma: jnp.ndarray):
-    """(2(S-1)n,) trace vector -> per-slab (v0, v1, vN, vNp) each (S, n).
+    """(2(S-1)n[, ...]) trace vector -> per-slab (v0, v1, vN, vNp) each
+    (S, n[, ...]); trailing axes are RHS/direction batches that ride along.
 
     ``devectorizeBdyData`` semantics (``src/subdomains.jl:362-434``): slab s
     reads its upper traces from interface s-1 and lower from interface s.
     """
     S, n = slabs.n_subs, slabs.n
-    g = u_gamma.reshape(S - 1, 2, n)
-    zero = jnp.zeros((1, n), dtype=u_gamma.dtype)
+    extra = u_gamma.shape[1:]
+    g = u_gamma.reshape((S - 1, 2, n) + extra)
+    zero = jnp.zeros((1, n) + extra, dtype=u_gamma.dtype)
     v0 = jnp.concatenate([zero, g[:, 0]], axis=0)
     v1 = jnp.concatenate([zero, g[:, 1]], axis=0)
     vN = jnp.concatenate([g[:, 0], zero], axis=0)
@@ -84,14 +86,15 @@ def _devectorize(slabs: SlabSystem, u_gamma: jnp.ndarray):
 
 
 def _interface_vector(slabs: SlabSystem, upper_slot, lower_slot):
-    """Assemble (2(S-1)n,) from per-slab (S, n) arrays: interface q gets
-    (upper_slot[q], lower_slot[q+1])."""
-    return jnp.stack([upper_slot[:-1], lower_slot[1:]], axis=1).reshape(-1)
+    """Assemble (2(S-1)n[, ...]) from per-slab (S, n[, ...]) arrays:
+    interface q gets (upper_slot[q], lower_slot[q+1])."""
+    out = jnp.stack([upper_slot[:-1], lower_slot[1:]], axis=1)
+    return out.reshape((-1,) + upper_slot.shape[2:])
 
 
 def block_apply(slabs: SlabSystem, v0, v1, vN, vNp):
     """Batched ``applyBlockOperator``: one local solve per slab driven by
-    interface sources; returns traces (u0, u1, uN, uNp) each (S, n[, r])."""
+    interface sources; returns traces (u0, u1, uN, uNp) each (S, n[, ...])."""
     dtype = slabs.cpl_01.dtype
     extra = v0.shape[2:]
     rhs = jnp.zeros((slabs.n_subs, slabs.m1_max, slabs.n) + extra, dtype=dtype)
@@ -117,9 +120,15 @@ def block_apply(slabs: SlabSystem, v0, v1, vN, vNp):
         cpl_n_np=slabs.cpl_n_np, cpl_np_n=slabs.cpl_np_n,
     )
     rhs = jax.vmap(fill)(rhs, xs)
+    # the solver layer batches ONE trailing RHS axis — fold any extra
+    # leading batch axes (e.g. (R, 2) from the batched MM apply) into it
+    if len(extra) > 1:
+        rhs = rhs.reshape(rhs.shape[:3] + (-1,))
     # trace-driven rhs: zero above the first trace line, so the forward
     # substitution head-starts there (exact)
     u = _solve_batched(slabs, rhs, start=slabs.trace_head)
+    if len(extra) > 1:
+        u = u.reshape(u.shape[:3] + extra)
     idx = jnp.arange(slabs.n_subs)
     return (u[idx, slabs.l0], u[idx, slabs.l1], u[idx, slabs.ln], u[idx, slabs.lnp])
 
@@ -131,11 +140,14 @@ def _block_apply_single(slabs, idx, v0, v1, vN, vNp, l0, l1, ln, lnp,
 
     ``start``/``tail`` exploit the rhs/consumption structure of the caller
     (both exact): the down recursion drives only top-trace sources and reads
-    only bottom traces; the up recursion is the mirror image.
+    only bottom traces; the up recursion is the mirror image.  Trailing
+    axes of the traces (direction batches) ride through the multi-RHS
+    slab solves — one pivot stream for the whole batch.
     """
     dtype = cpl_01.dtype
-    rhs = jnp.zeros((slabs.m1_max, slabs.n), dtype=dtype)
-    zero = jnp.zeros((slabs.n,), dtype=dtype)
+    extra = v0.shape[1:]
+    rhs = jnp.zeros((slabs.m1_max, slabs.n) + extra, dtype=dtype)
+    zero = jnp.zeros((slabs.n,) + extra, dtype=dtype)
     rhs = rhs.at[l1].set(jnp.where(has_top, -band_matvec(cpl_10, v0), zero))
     rhs = rhs.at[l0].set(jnp.where(has_top, band_matvec(cpl_01, v1), zero))
     rhs = rhs.at[lnp].set(jnp.where(has_bot, band_matvec(cpl_np_n, vN), zero))
@@ -190,9 +202,10 @@ def apply_m_down(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
     zero = jnp.zeros_like(v0)
     _, u1_full, _, _ = block_apply(slabs, v0, v1, vN, vNp)
     _, _, uN_zero, _ = block_apply(slabs, v0, v1, zero, zero)
-    upper = jnp.where(
-        jnp.arange(slabs.n_subs)[:, None] == 0, -vN, uN_zero - vN
+    first = (jnp.arange(slabs.n_subs) == 0).reshape(
+        (slabs.n_subs,) + (1,) * (vN.ndim - 1)
     )
+    upper = jnp.where(first, -vN, uN_zero - vN)
     return _interface_vector(slabs, upper, u1_full - v1)
 
 
@@ -202,11 +215,10 @@ def apply_m_up(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
     zero = jnp.zeros_like(v0)
     _, u1_zero, _, _ = block_apply(slabs, zero, zero, vN, vNp)
     _, _, uN_full, _ = block_apply(slabs, v0, v1, vN, vNp)
-    lower = jnp.where(
-        jnp.arange(slabs.n_subs)[:, None] == slabs.n_subs - 1,
-        -v1,
-        u1_zero - v1,
+    last = (jnp.arange(slabs.n_subs) == slabs.n_subs - 1).reshape(
+        (slabs.n_subs,) + (1,) * (v1.ndim - 1)
     )
+    lower = jnp.where(last, -v1, u1_zero - v1)
     return _interface_vector(slabs, uN_full - vN, lower)
 
 
@@ -227,11 +239,10 @@ def apply_m0_up(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
     zero = jnp.zeros_like(v0)
     u0_zero, _, _, _ = block_apply(slabs, zero, zero, vN, vNp)
     _, _, _, uNp_full = block_apply(slabs, v0, v1, vN, vNp)
-    lower = jnp.where(
-        jnp.arange(slabs.n_subs)[:, None] == slabs.n_subs - 1,
-        -v0,
-        u0_zero - v0,
+    last = (jnp.arange(slabs.n_subs) == slabs.n_subs - 1).reshape(
+        (slabs.n_subs,) + (1,) * (v0.ndim - 1)
     )
+    lower = jnp.where(last, -v0, u0_zero - v0)
     return _interface_vector(slabs, uNp_full, lower)
 
 
@@ -253,7 +264,7 @@ def apply_u_coupling(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
     v0, v1, vN, vNp = _devectorize(slabs, u_gamma)
     _, _, uN_t, uNp_t = block_apply(slabs, v0, v1, vN, vNp)
     out = jnp.stack([(uN_t - vN)[:-1], uNp_t[:-1]], axis=1)
-    return out.reshape(-1)
+    return out.reshape((-1,) + u_gamma.shape[1:])
 
 
 def apply_l_coupling(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
@@ -261,7 +272,7 @@ def apply_l_coupling(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
     v0, v1, vN, vNp = _devectorize(slabs, u_gamma)
     u0_t, u1_t, _, _ = block_apply(slabs, v0, v1, vN, vNp)
     out = jnp.stack([u0_t[1:], (u1_t - v1)[1:]], axis=1)
-    return out.reshape(-1)
+    return out.reshape((-1,) + u_gamma.shape[1:])
 
 
 def _slab_xs_range(slabs: SlabSystem, lo: int, hi: int):
@@ -287,9 +298,10 @@ def apply_dinv_down(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
     interface's value is the transmitted trace through the slab in between
     minus the input."""
     S, n = slabs.n_subs, slabs.n
-    g = u_gamma.reshape(S - 1, 2, n)
+    extra = u_gamma.shape[1:]
+    g = u_gamma.reshape((S - 1, 2, n) + extra)
     first = -g[0]
-    zero = jnp.zeros((n,), dtype=u_gamma.dtype)
+    zero = jnp.zeros((n,) + extra, dtype=u_gamma.dtype)
 
     def step(carry, xs):
         vN, vNp = carry
@@ -308,16 +320,18 @@ def apply_dinv_down(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
 
     xs = dict(_slab_xs_range(slabs, 1, S - 1), g0=g[1:, 0], g1=g[1:, 1])
     _, rest = jax.lax.scan(step, (first[0], first[1]), xs)
-    return jnp.concatenate([first[None], rest], axis=0).reshape(-1)
+    out = jnp.concatenate([first[None], rest], axis=0)
+    return out.reshape((-1,) + extra)
 
 
 def apply_dinv_up(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
     """Sequential upward D^{-1} recursion (``applyDinvUp``,
     ``src/subdomains.jl:785-814``)."""
     S, n = slabs.n_subs, slabs.n
-    g = u_gamma.reshape(S - 1, 2, n)
+    extra = u_gamma.shape[1:]
+    g = u_gamma.reshape((S - 1, 2, n) + extra)
     last = -g[S - 2]
-    zero = jnp.zeros((n,), dtype=u_gamma.dtype)
+    zero = jnp.zeros((n,) + extra, dtype=u_gamma.dtype)
 
     def step(carry, xs):
         v0, v1 = carry
@@ -337,33 +351,36 @@ def apply_dinv_up(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
     # interfaces S-3 .. 0 use slabs S-2 .. 1
     xs = dict(_slab_xs_range(slabs, 1, S - 1), g0=g[:-1, 0], g1=g[:-1, 1])
     _, rest = jax.lax.scan(step, (last[0], last[1]), xs, reverse=True)
-    return jnp.concatenate([rest, last[None]], axis=0).reshape(-1)
+    out = jnp.concatenate([rest, last[None]], axis=0)
+    return out.reshape((-1,) + extra)
 
 
 def apply_d_down(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
     """Downward block-diagonal operator (``applyDdown``,
     ``src/subdomains.jl:697-723``); exact inverse of ``apply_dinv_down``."""
     S, n = slabs.n_subs, slabs.n
-    g = u_gamma.reshape(S - 1, 2, n)
+    extra = u_gamma.shape[1:]
+    g = u_gamma.reshape((S - 1, 2, n) + extra)
     v0, v1, _, _ = _devectorize(slabs, u_gamma)
     zero = jnp.zeros_like(v0)
     _, _, tN, tNp = block_apply(slabs, v0, v1, zero, zero)
     first = -g[0]
     rest = jnp.stack([tN[1 : S - 1], tNp[1 : S - 1]], axis=1) - g[1:]
-    return jnp.concatenate([first[None], rest], axis=0).reshape(-1)
+    return jnp.concatenate([first[None], rest], axis=0).reshape((-1,) + extra)
 
 
 def apply_d_up(slabs: SlabSystem, u_gamma: jnp.ndarray) -> jnp.ndarray:
     """Upward block-diagonal operator (``applyDup``,
     ``src/subdomains.jl:756-783``); exact inverse of ``apply_dinv_up``."""
     S, n = slabs.n_subs, slabs.n
-    g = u_gamma.reshape(S - 1, 2, n)
+    extra = u_gamma.shape[1:]
+    g = u_gamma.reshape((S - 1, 2, n) + extra)
     _, _, vN, vNp = _devectorize(slabs, u_gamma)
     zero = jnp.zeros_like(vN)
     t0, t1, _, _ = block_apply(slabs, zero, zero, vN, vNp)
     last = -g[S - 2]
     rest = jnp.stack([t0[1 : S - 1], t1[1 : S - 1]], axis=1) - g[: S - 2]
-    return jnp.concatenate([rest, last[None]], axis=0).reshape(-1)
+    return jnp.concatenate([rest, last[None]], axis=0).reshape((-1,) + extra)
 
 
 def permute_to_pairs(slabs: SlabSystem, b_pol: jnp.ndarray) -> jnp.ndarray:
@@ -372,11 +389,13 @@ def permute_to_pairs(slabs: SlabSystem, b_pol: jnp.ndarray) -> jnp.ndarray:
     recursion layout (down: (u_n, u_np), up: (u_0, u_1))."""
     S, n = slabs.n_subs, slabs.n
     half = 2 * (S - 1) * n
-    f1 = b_pol[:half].reshape(S - 1, 2, n)
-    f0 = b_pol[half:].reshape(S - 1, 2, n)
+    extra = b_pol.shape[1:]
+    f1 = b_pol[:half].reshape((S - 1, 2, n) + extra)
+    f0 = b_pol[half:].reshape((S - 1, 2, n) + extra)
     down = jnp.stack([f1[:, 0], f0[:, 0]], axis=1)
     up = jnp.stack([f0[:, 1], f1[:, 1]], axis=1)
-    return jnp.concatenate([down.reshape(-1), up.reshape(-1)])
+    flat = (-1,) + extra
+    return jnp.concatenate([down.reshape(flat), up.reshape(flat)])
 
 
 def precond_gauss_seidel(slabs: SlabSystem, v: jnp.ndarray, n_it: int) -> jnp.ndarray:
@@ -416,8 +435,9 @@ def extract_rhs_traces(slabs: SlabSystem, b: jnp.ndarray):
     rhs = partition_source(slabs, b)
     u = _solve_batched(slabs, rhs)
     idx = jnp.arange(slabs.n_subs)
-    mask_top = slabs.has_top[:, None]
-    mask_bot = slabs.has_bot[:, None]
+    bshape = (slabs.n_subs,) + (1,) * (u.ndim - 2)
+    mask_top = slabs.has_top.reshape(bshape)
+    mask_bot = slabs.has_bot.reshape(bshape)
     u_0 = jnp.where(mask_top, u[idx, slabs.l0], 0.0)
     u_1 = jnp.where(mask_top, u[idx, slabs.l1], 0.0)
     u_n = jnp.where(mask_bot, u[idx, slabs.ln], 0.0)
@@ -497,6 +517,51 @@ class PolarizedTracesPreconditioner:
         u = u_pol[:half] + u_pol[half:]
         v0, v1, vn, vnp = _devectorize(slabs, u)
         return reconstruction(slabs, asb, v0, v1, vn, vnp)
+
+    def apply_batch(self, b_batch: jnp.ndarray) -> jnp.ndarray:
+        """(R, m*n) joint batch apply (``gmres_batched`` convention).
+
+        The R directions ride the whole trace pipeline as a trailing axis:
+        ONE batched local-solve pass for the partitioned sources, ONE
+        ``gmres_batched`` inner solve on the trace system whose MM applies
+        and D-inverse recursions stream each slab's pivots once per step
+        for all R columns, and ONE batched reconstruction — the same
+        amortization that makes the sweep path's multi-direction solves
+        ~flat in R (the reference solves directions serially,
+        ``tests/plasma_integral_system_example.jl:115-134``)."""
+        from fast_solver_lippmann_schwinger_tpu.solver.gmres import (
+            gmres_batched,
+        )
+
+        slabs = self.slabs
+        S, n = slabs.n_subs, slabs.n
+        b = b_batch.T                              # (N, R)
+        asb = self.a_s.matvec(b)
+        u_0, u_1, u_n, u_np = extract_rhs_traces(slabs, asb)   # (S, n, R)
+        f1 = _interface_vector(slabs, u_n, u_1)
+        f0 = _interface_vector(slabs, u_np, u_0)
+        f_pol = -jnp.concatenate([f1, f0])         # (M, R)
+
+        inner_precond = (
+            precond_gauss_seidel if self.precond_type == "GS" else precond_jacobi
+        )
+        matvec_b = lambda V: apply_mm(slabs, V.T).T
+        precond_b = lambda V: inner_precond(
+            slabs, permute_to_pairs(slabs, V.T), self.n_it
+        ).T
+        u_pol, _info = gmres_batched(
+            matvec_b,
+            f_pol.T,
+            preconditioner=precond_b,
+            rtol=self.inner_tol,
+            restart=min(20, f_pol.shape[0]),
+            maxiter=self.inner_maxiter,
+        )
+        u_pol = u_pol.T                            # (M, R)
+        half = 2 * (S - 1) * n
+        u = u_pol[:half] + u_pol[half:]
+        v0, v1, vn, vnp = _devectorize(slabs, u)
+        return reconstruction(slabs, asb, v0, v1, vn, vnp).T
 
     def __call__(self, b):
         return self.apply(b)

@@ -146,11 +146,16 @@ def jacobi_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
     solve per slab combines source + both trace families.  Semantics of
     ``precondJacobi`` (``src/preconditioner.jl:421-550``, whose reference
     version is dead code due to the unbound-variable typo at ``:547``).
+
+    ``b`` may carry trailing RHS columns (m*n, r): every slab solve then
+    streams its pivots once for all r columns (same amortization as
+    :func:`gs_sweep`).
     """
-    rhs0 = partition_source(slabs, b)
+    rhs0 = partition_source(slabs, b)      # (S, m1_max, n[, r])
     dtype = rhs0.dtype
     n = slabs.n
-    zeros_n = jnp.zeros((n,), dtype)
+    extra = rhs0.shape[3:]
+    zeros_n = jnp.zeros((n,) + extra, dtype)
     idx = jnp.arange(slabs.n_subs)
 
     if slabs.pfac is not None:
@@ -180,7 +185,7 @@ def jacobi_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
     t1_init = v_init[idx, slabs.l1]
 
     def trace_rhs_down(xs, u_n_prev, u_np_prev):
-        rhs = jnp.zeros((slabs.m1_max, n), dtype)
+        rhs = jnp.zeros((slabs.m1_max, n) + extra, dtype)
         add0 = band_matvec(xs["cpl_01"], u_np_prev)
         add1 = -band_matvec(xs["cpl_10"], u_n_prev)
         zero = jnp.zeros_like(add0)
@@ -202,7 +207,7 @@ def jacobi_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
     (_, _), (u_n_all, u_np_all) = jax.lax.scan(down_step, (zeros_n, zeros_n), xs)
 
     def trace_rhs_up(xs, u_0_next, u_1_next):
-        rhs = jnp.zeros((slabs.m1_max, n), dtype)
+        rhs = jnp.zeros((slabs.m1_max, n) + extra, dtype)
         addnp = band_matvec(xs["cpl_np_n"], u_0_next)
         addn = -band_matvec(xs["cpl_n_np"], u_1_next)
         zero = jnp.zeros_like(addnp)

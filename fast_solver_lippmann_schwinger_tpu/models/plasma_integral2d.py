@@ -79,3 +79,28 @@ def solve(problem: PlasmaIntegral2DProblem, incident_direction=(1.0, 0.0),
         rtol=rtol, restart=restart, maxiter=maxiter,
     ))
     return fn(problem.op, problem.precond, u_inc)
+
+
+def solve_batched(problem: PlasmaIntegral2DProblem, incident_directions,
+                  rtol: float = 1e-8, restart: int = 20, maxiter: int = 100):
+    """Joint multi-direction solve: one ``gmres_batched`` whose trace-space
+    preconditioner (``PolarizedTracesPreconditioner.apply_batch``) carries
+    all R directions through each slab solve at once (the reference driver
+    loops directions serially,
+    ``tests/plasma_integral_system_example.jl:115-134``)."""
+    from fast_solver_lippmann_schwinger_tpu.solver.gmres import gmres_batched
+
+    X, Y = problem.grid.mesh()
+    dirs = np.asarray(incident_directions, dtype=np.float64)
+    dtype = problem.op.symbol.dtype
+    phases = dirs[:, 0:1] * X.ravel()[None] + dirs[:, 1:2] * Y.ravel()[None]
+    u_inc = to_device_complex(np.exp(1j * problem.k * phases), dtype)
+
+    def run(op, pc, uis):
+        apply_b = jax.vmap(op.apply)
+        return gmres_batched(
+            apply_b, -(apply_b(uis) - uis), preconditioner=pc.apply_batch,
+            rtol=rtol, restart=restart, maxiter=maxiter,
+        )
+
+    return jax.jit(run)(problem.op, problem.precond, u_inc)

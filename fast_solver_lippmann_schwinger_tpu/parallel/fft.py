@@ -69,6 +69,35 @@ def _convolve_2d_batch_local(sym_cols, x_rows, axis):
     return fft2d(x, inverse=True)
 
 
+def _convolve_3d_batch_local(sym_pencil, x, axis):
+    """Batched shard_map body: x (R, le/P, me, ne) sharded on the z-slab
+    axis; sym_pencil (le, me/P, ne) sharded on y.
+
+    Every FFT runs as a 2-D last-axis transform (see
+    ``_convolve_2d_batch_local`` for why — the XLA:CPU layout RET_CHECK on
+    mid-axis batched FFTs, and last-axis is the fast TPU layout too)."""
+
+    def fftl(v, inverse=False):
+        f = jnp.fft.ifft if inverse else jnp.fft.fft
+        return f(v.reshape(-1, v.shape[-1]), axis=1).reshape(v.shape)
+
+    x = fftl(x)                                    # ne axis
+    x = jnp.swapaxes(x, 2, 3)
+    x = fftl(x)                                    # me axis
+    x = jnp.swapaxes(x, 2, 3)
+    x = jax.lax.all_to_all(x, axis, split_axis=2, concat_axis=1, tiled=True)
+    x = jnp.moveaxis(x, 1, 3)                      # (R, me/P, ne, le)
+    x = fftl(x)                                    # le axis: z complete
+    x = x * jnp.moveaxis(sym_pencil, 0, 2)[None]
+    x = fftl(x, inverse=True)
+    x = jnp.moveaxis(x, 3, 1)                      # (R, le, me/P, ne)
+    x = jax.lax.all_to_all(x, axis, split_axis=1, concat_axis=2, tiled=True)
+    x = jnp.swapaxes(x, 2, 3)
+    x = fftl(x, inverse=True)                      # me axis
+    x = jnp.swapaxes(x, 2, 3)
+    return fftl(x, inverse=True)                   # ne axis
+
+
 def _convolve_3d_local(sym_pencil, x_slabs, axis):
     """x_slabs (le/P, me, ne) sharded on axis 0; sym_pencil (le, me/P, ne)
     sharded on axis 1."""
@@ -189,6 +218,38 @@ class DistributedLS3D:
     def apply(self, u: jnp.ndarray) -> jnp.ndarray:
         scaled = (self.nu.reshape(u.shape) * u).astype(self.symbol.dtype)
         return u + (self.omega ** 2) * self.convolve(scaled)
+
+    def convolve_batch(self, b: jnp.ndarray) -> jnp.ndarray:
+        """(R, l*m*n) batch convolution in one sharded program — composes
+        with ``make_sharded_sweep_preconditioner_3d_pipelined`` and
+        ``gmres_batched`` into the full 3D multichip solve (2D analog:
+        ``DistributedLS2D.convolve_batch``)."""
+        R = b.shape[0]
+        le, me, ne = self.symbol.shape
+        ext = jnp.zeros((R, le, me, ne), dtype=self.symbol.dtype)
+        ext = ext.at[:, : self.l, : self.m, : self.n].set(
+            b.reshape(R, self.l, self.m, self.n).astype(self.symbol.dtype)
+        )
+        ext = jax.lax.with_sharding_constraint(
+            ext, NamedSharding(self.mesh, P(None, self.axis, None, None))
+        )
+        out = jax.shard_map(
+            lambda s, x: _convolve_3d_batch_local(s, x, self.axis),
+            mesh=self.mesh,
+            in_specs=(P(None, self.axis, None), P(None, self.axis, None, None)),
+            out_specs=P(None, self.axis, None, None),
+            check_vma=False,
+        )(self.symbol, ext)
+        return out[:, : self.l, : self.m, : self.n].reshape(b.shape)
+
+    def apply_batch(self, u: jnp.ndarray) -> jnp.ndarray:
+        """(R, l*m*n) batched operator apply."""
+        scaled = (
+            self.nu.reshape(1, -1) * u.reshape(u.shape[0], -1)
+        ).astype(self.symbol.dtype)
+        return u + (self.omega ** 2) * self.convolve_batch(
+            scaled
+        ).reshape(u.shape)
 
     def __call__(self, u):
         return self.apply(u)

@@ -51,10 +51,13 @@ def test_api_bad_precond_raises():
         api.build_problem(ProblemConfig(dim=3, precond="double_sweep"))
 
 
-@pytest.mark.parametrize("precond", ["sparsifying", "double_sweep"])
+@pytest.mark.parametrize(
+    "precond", ["sparsifying", "double_sweep", "polarized_traces"]
+)
 def test_api_solve_batched_matches_single(precond):
-    """solve_problem_batched (joint gmres_batched; apply_batch for sweeps,
-    vmapped apply otherwise) == per-direction solve_problem."""
+    """solve_problem_batched (joint gmres_batched; apply_batch for sweeps
+    AND the trace path, vmapped apply otherwise) == per-direction
+    solve_problem."""
     cfg = ProblemConfig(
         dim=2, medium="gaussian_bump", h=1.0 / 40.0, precond=precond,
         solver=SolverConfig(rtol=1e-8, maxiter=40, dtype=jnp.complex128),

@@ -77,6 +77,33 @@ def test_gs_sweep_multirhs_matches_columns(small_plasma):
         assert _relerr(got[:, r], ref) < 1e-12
 
 
+def test_jacobi_sweep_multirhs_matches_columns(small_plasma):
+    from fast_solver_lippmann_schwinger_tpu.ddm.sweeps import jacobi_sweep
+
+    _, _, _, _, _, slabs, _, B = small_plasma
+    got = jacobi_sweep(slabs, B)
+    assert got.shape == B.shape
+    for r in range(R):
+        ref = jacobi_sweep(slabs, B[:, r])
+        assert _relerr(got[:, r], ref) < 1e-12
+
+
+def test_polarized_apply_batch_matches_rows(small_plasma):
+    """PolarizedTracesPreconditioner.apply_batch (trailing direction axis
+    through the whole trace pipeline + one gmres_batched inner solve) ==
+    per-row apply."""
+    from fast_solver_lippmann_schwinger_tpu.ddm.polarized import (
+        PolarizedTracesPreconditioner,
+    )
+
+    _, _, _, a_st, msp, slabs, _, B = small_plasma
+    pc = PolarizedTracesPreconditioner(slabs=slabs, a_s=a_st, n_it=2)
+    got = pc.apply_batch(B.T)                       # (R, N) convention
+    for r in range(R):
+        ref = pc.apply(B[:, r])
+        assert _relerr(got[r], ref) < 1e-10
+
+
 def test_double_sweep_apply_batch_matches_rows(small_plasma):
     _, _, _, a_st, msp, slabs, slabs_t, B = small_plasma
     pc = DoubleSweepPreconditioner(slabs=slabs, slabs_t=slabs_t, msp=msp,
