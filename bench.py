@@ -287,6 +287,80 @@ def measure_e2e_batched(h=1.0 / 800.0, subs=16, platform=None, pivot="pallas",
     return dt, problem.grid.size, n_dirs
 
 
+def measure_e2e_3d(nn=48, precond="sparsifying", pivot="full", subs=4,
+                   npml=5, platform=None, rtol=1e-6, restart=20, maxiter=16,
+                   repeats=2, long_chain=3, cache_dir=None):
+    """Chain-timed full 3D bump solve (reference ``examples/example3D.jl``
+    config at nn=48; the 96^3 GS-sweep config is beyond the reference).
+
+    Same methodology as the 2D headline: data-dependent ``lax.scan`` chains
+    of ``1`` and ``long_chain`` complete preconditioned GMRES solves,
+    fetch-synced; per-solve time = (t_long - t1) / (long_chain - 1).
+    Returns (seconds_per_solve, n_points, setup_seconds).
+    """
+    jax = _setup_jax(platform)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fast_solver_lippmann_schwinger_tpu.models import bump3d
+    from fast_solver_lippmann_schwinger_tpu.solver.gmres import gmres
+    from fast_solver_lippmann_schwinger_tpu.utils.host import to_device_complex
+
+    t0 = time.time()
+    problem = bump3d.build_problem(
+        h=1.0 / nn, dtype=jnp.complex64, precond=precond,
+        n_subdomains=subs, npml=npml, pivot_dtype=pivot,
+        cache_dir=cache_dir,
+    )
+    setup_s = time.time() - t0
+    print(f"[bench] 3d {nn}^3 {precond}/{pivot} setup dispatched in "
+          f"{setup_s:.0f}s", file=sys.stderr)
+    X, _, _ = problem.grid.mesh()
+    dtype = problem.op.symbol.dtype
+
+    def one_solve(op, pc, ui):
+        x, _ = gmres(op.apply, -(op.apply(ui) - ui),
+                     preconditioner=pc.apply, rtol=rtol, restart=restart,
+                     maxiter=maxiter)
+        return x
+
+    def chain(op, pc, ui, n_steps):
+        def body(c, _):
+            x = one_solve(op, pc, c)
+            return c + 1e-6 * x / jnp.maximum(
+                jnp.max(jnp.abs(x)), 1e-30), None
+        out, _ = jax.lax.scan(body, ui, None, length=n_steps)
+        return jnp.broadcast_to(jnp.abs(out).sum(), (8,)).astype(jnp.float32)
+
+    c1 = jax.jit(lambda op, pc, v: chain(op, pc, v, 1))
+    cl = jax.jit(lambda op, pc, v: chain(op, pc, v, long_chain))
+    n_inputs = 2 + 2 * repeats
+    uis = [to_device_complex(
+        np.exp(1j * (problem.k * X.ravel() + 1e-4 * i)), dtype)
+        for i in range(n_inputs)]
+
+    def run_synced(fn, ui):
+        return float(np.asarray(fn(problem.op, problem.precond, ui))[0])
+
+    t0 = time.time()
+    run_synced(c1, uis[0])
+    run_synced(cl, uis[1])
+    print(f"[bench] 3d {nn}^3 warmup/compile in {time.time()-t0:.0f}s",
+          file=sys.stderr)
+    t1s, tls = [], []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        run_synced(c1, uis[2 + 2 * i])
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run_synced(cl, uis[3 + 2 * i])
+        tls.append(time.perf_counter() - t0)
+    t1 = sorted(t1s)[len(t1s) // 2]
+    tl = sorted(tls)[len(tls) // 2]
+    dt = max(tl - t1, 1e-9) / (long_chain - 1)
+    return dt, problem.grid.size, setup_s
+
+
 def measure_cpu_e2e(h=1.0 / 800.0, subs=16):
     """One warm full solve on the host CPU (complex64, full pivots, same
     GMRES budget as the TPU measurement); returns (seconds, n_points)."""
@@ -372,6 +446,22 @@ def main():
             "ms_per_direction": round(dt * 1e3 / n_dirs, 1),
         }))
         return
+    if "--3d" in args:
+        out = {}
+        dt, npts, setup_s = measure_e2e_3d(nn=48, precond="sparsifying")
+        out["ls3d_48_ms_per_solve"] = round(dt * 1e3, 1)
+        out["ls3d_48_Mgpps"] = round(npts / dt / 1e6, 3)
+        out["ls3d_48_setup_s"] = round(setup_s, 1)
+        if "--no-96" not in args:
+            dt, npts, setup_s = measure_e2e_3d(
+                nn=96, precond="gs", pivot="yblock_int8", subs=6, npml=8,
+                maxiter=12, long_chain=2, repeats=2,
+            )
+            out["ls3d_96_ms_per_solve"] = round(dt * 1e3, 1)
+            out["ls3d_96_Mgpps"] = round(npts / dt / 1e6, 3)
+            out["ls3d_96_setup_s"] = round(setup_s, 1)
+        print(json.dumps(out))
+        return
 
     apply_gpps = None
     try:
@@ -450,6 +540,32 @@ def main():
         print(f"[bench] no cached CPU e2e baseline ({exc}); "
               "run `python bench.py --cpu-e2e` to refresh", file=sys.stderr)
 
+    # chain-timed 3D numbers (VERDICT r3 item 2): the 48^3 reference config
+    # and the beyond-reference 96^3 GS-sweep config, same methodology
+    extra_3d = {}
+    if "--no-3d" not in args:
+        try:
+            dt3, npts3, setup3 = measure_e2e_3d(nn=48, precond="sparsifying")
+            extra_3d["ls3d_48_ms_per_solve"] = round(dt3 * 1e3, 1)
+            extra_3d["ls3d_48_Mgpps"] = round(npts3 / dt3 / 1e6, 3)
+            print(f"[bench] 3d 48^3 sparsifying: {dt3*1e3:.0f} ms/solve "
+                  f"({npts3/dt3/1e6:.3f} Mgpps), setup {setup3:.0f}s",
+                  file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            print(f"[bench] 3d 48^3 failed: {exc}", file=sys.stderr)
+        try:
+            dt3, npts3, setup3 = measure_e2e_3d(
+                nn=96, precond="gs", pivot="yblock_int8", subs=6, npml=8,
+                maxiter=12, long_chain=2,
+            )
+            extra_3d["ls3d_96_ms_per_solve"] = round(dt3 * 1e3, 1)
+            extra_3d["ls3d_96_Mgpps"] = round(npts3 / dt3 / 1e6, 3)
+            print(f"[bench] 3d 96^3 gs/yblock_int8: {dt3*1e3:.0f} ms/solve "
+                  f"({npts3/dt3/1e6:.3f} Mgpps), setup {setup3:.0f}s",
+                  file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001
+            print(f"[bench] 3d 96^3 failed: {exc}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "ls2d_plasma_801_full_solve",
         "value": round(solve_gpps / 1e6, 3),
@@ -461,6 +577,7 @@ def main():
         "ms_per_solve_dual_batched": (
             round(dual_ms_per_dir, 1) if dual_ms_per_dir else None
         ),
+        **extra_3d,
     }))
 
 

@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--npml", type=int, default=10)
     ap.add_argument("--pivot", default="pallas")
     ap.add_argument("--nit", type=int, default=2)
+    ap.add_argument("--dual", action="store_true",
+                    help="also chain-time the JOINT 2-direction batched "
+                         "solve (PolarizedTracesPreconditioner.apply_batch)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -112,6 +115,52 @@ def main():
     dt = max(t3 - t1, 1e-9) / 2
     print(f"on-device polarized-traces solve (chained): {dt*1e3:.1f} ms",
           flush=True)
+
+    if args.dual:
+        from fast_solver_lippmann_schwinger_tpu.solver.gmres import (
+            gmres_batched,
+        )
+
+        def one_solve_b(op, pc, uis_):
+            apply_b = jax.vmap(op.apply)
+            xx, _ = gmres_batched(
+                apply_b, -(apply_b(uis_) - uis_),
+                preconditioner=pc.apply_batch, rtol=1e-6, restart=20,
+                maxiter=20,
+            )
+            return xx
+
+        def chain_b(op, pc, uis_, n_steps):
+            def body(c, _):
+                xx = one_solve_b(op, pc, c)
+                return c + 1e-6 * xx / jnp.maximum(
+                    jnp.max(jnp.abs(xx)), 1e-30), None
+            out, _ = jax.lax.scan(body, uis_, None, length=n_steps)
+            return jnp.broadcast_to(
+                jnp.abs(out).sum(), (8,)
+            ).astype(jnp.float32)
+
+        cb1 = jax.jit(lambda op, pc, v: chain_b(op, pc, v, 1))
+        cb3 = jax.jit(lambda op, pc, v: chain_b(op, pc, v, 3))
+        dirs = np.array([(1.0, 0.0), (0.0, 1.0)])
+        phases = (dirs[:, 0:1] * X.ravel()[None]
+                  + dirs[:, 1:2] * Y.ravel()[None])
+        buis = [to_device_complex(
+            np.exp(1j * (problem.k * phases + 1e-4 * i)), dtype)
+            for i in range(4)]
+        run(cb1, buis[0])
+        run(cb3, buis[1])
+        t0 = time.perf_counter()
+        run(cb1, buis[2])
+        tb1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run(cb3, buis[3])
+        tb3 = time.perf_counter() - t0
+        dtb = max(tb3 - tb1, 1e-9) / 2
+        print(f"joint dual-direction polarized solve (chained): "
+              f"{dtb*1e3:.1f} ms for 2 directions "
+              f"({dtb*1e3/2:.1f} ms/dir, {dt/(dtb/2):.2f}x amortization)",
+              flush=True)
 
 
 if __name__ == "__main__":
