@@ -37,9 +37,12 @@ def main(argv=None):
     ap.add_argument("--inner-tol", type=float,
                     help="inner-GMRES tolerance for *_inner preconds "
                          "(reference tol, default 1e-2)")
-    ap.add_argument("--pivot-dtype", choices=["full", "bf16", "banded", "pallas", "pallas_int8"])
+    ap.add_argument("--pivot-dtype", choices=[
+        "full", "bf16", "banded", "banded_lr", "pallas", "pallas_int8"])
     ap.add_argument("--pivot-band", type=int,
-                    help="band width for --pivot-dtype banded")
+                    help="band width for --pivot-dtype banded/banded_lr")
+    ap.add_argument("--pivot-rank", type=int,
+                    help="low-rank correction rank for banded_lr")
     ap.add_argument("--subs", type=int, help="number of DDM slabs")
     ap.add_argument("--npml", type=int)
     ap.add_argument("--rtol", type=float)
@@ -100,6 +103,7 @@ def main(argv=None):
         ("dim", "dim"), ("medium", "medium"), ("h", "h"), ("k", "k"),
         ("quad", "quad_rule"), ("precond", "precond"),
         ("pivot_dtype", "pivot_dtype"), ("pivot_band", "pivot_band"),
+        ("pivot_rank", "pivot_rank"),
     ]:
         v = getattr(args, flag)
         if v is not None:

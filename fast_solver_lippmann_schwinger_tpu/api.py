@@ -147,7 +147,8 @@ def build_problem(cfg: ProblemConfig) -> Problem:
             cfg.ddm.n_subdomains, npml=cfg.ddm.npml,
             shift_factor=cfg.ddm.shift_factor,
             a_host=a_np, ag_host=ag_np, pivot_dtype=cfg.pivot_dtype,
-            pivot_band=cfg.pivot_band, cache_dir=cfg.cache_dir,
+            pivot_band=cfg.pivot_band, pivot_rank=cfg.pivot_rank,
+            cache_dir=cfg.cache_dir,
         )
         if cfg.precond == "gs":
             precond = SingleSweepPreconditioner(slabs=slabs, a_s=a_st)
@@ -177,7 +178,8 @@ def build_problem(cfg: ProblemConfig) -> Problem:
                 a_host=a_np.transpose(1, 0, 3, 2),
                 ag_host=ag_np.transpose(1, 0, 3, 2),
                 pivot_dtype=cfg.pivot_dtype,
-                pivot_band=cfg.pivot_band, cache_dir=cfg.cache_dir,
+                pivot_band=cfg.pivot_band, pivot_rank=cfg.pivot_rank,
+                cache_dir=cfg.cache_dir,
             )
             double = DoubleSweepPreconditioner(
                 slabs=slabs, slabs_t=slabs_t, msp=msp, a_s=a_st

@@ -87,9 +87,11 @@ class ProblemConfig:
                                        # (TPU fast path), False = 5-smooth,
                                        # None = sniff the current backend
     precond: str = "sparsifying"
-    pivot_dtype: str = "full"          # full | bf16 | banded | pallas |
+    pivot_dtype: str = "full"          # full | bf16 | banded | banded_lr |
+                                       # pallas |
                                        # pallas_int8 (DDM pivot storage)
-    pivot_band: int | None = None      # band width for pivot_dtype="banded"
+    pivot_band: int | None = None      # band width for banded/banded_lr
+    pivot_rank: int | None = None      # low-rank correction rank (banded_lr)
     cache_dir: str | None = None       # checkpoint dir for expensive setup
                                        # artifacts (GFFT symbol, stencil
                                        # fields, slab factorizations) —

@@ -166,6 +166,7 @@ def build_slab_system(
     ag_host: np.ndarray | None = None,
     pivot_dtype: str = "full",
     pivot_band: int | None = None,
+    pivot_rank: int | None = None,
     cache_dir: str | None = None,
 ) -> SlabSystem:
     """Construct and factor all slabs of one sweep direction.
@@ -364,6 +365,21 @@ def build_slab_system(
                     )
                 )
             )(v), None
+        if pivot_dtype == "banded_lr":
+            from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
+                compress_factorization_banded_lr,
+            )
+
+            width = pivot_band if pivot_band is not None else max(n // 8, 33)
+            rank = pivot_rank if pivot_rank is not None else 24
+            return jax.jit(
+                jax.vmap(
+                    lambda vv: compress_factorization_banded_lr(
+                        factor_stencil_2d(StencilMatrix2D(values=vv)),
+                        width, rank,
+                    )
+                )
+            )(v), None
         return jax.jit(
             jax.vmap(lambda vv: factor_stencil_2d(StencilMatrix2D(values=vv)))
         )(v), None
@@ -385,6 +401,7 @@ def build_slab_system(
             shape=list(h_sten.shape),
             pivot_dtype=pivot_dtype,
             pivot_band=pivot_band,
+            pivot_rank=pivot_rank,
             dtype=str(dtype),
         )
         cache_path = os.path.join(cache_dir, f"slabfac_{key}.npz")

@@ -43,6 +43,7 @@ def build_problem(
     double_sweep: bool = True,
     pivot_dtype: str = "full",
     pivot_band: int | None = None,
+    pivot_rank: int | None = None,
     use_pallas: bool = False,
     cache_dir: str | None = None,
 ) -> Plasma2DProblem:
@@ -72,7 +73,7 @@ def build_problem(
     slabs = build_slab_system(
         a_st, ag_st, nu, grid.x, grid.y, h, k, n_subdomains, npml=npml,
         a_host=a_np, ag_host=ag_np, pivot_dtype=pivot_dtype,
-        pivot_band=pivot_band, cache_dir=cache_dir,
+        pivot_band=pivot_band, pivot_rank=pivot_rank, cache_dir=cache_dir,
     )
     if use_pallas:
         from fast_solver_lippmann_schwinger_tpu.ddm.subdomain import (
@@ -89,7 +90,7 @@ def build_problem(
             grid.y, grid.x, h, k, n_subdomains, npml=npml,
             a_host=a_np.transpose(1, 0, 3, 2),
             ag_host=ag_np.transpose(1, 0, 3, 2), pivot_dtype=pivot_dtype,
-            pivot_band=pivot_band, cache_dir=cache_dir,
+            pivot_band=pivot_band, pivot_rank=pivot_rank, cache_dir=cache_dir,
         )
         if use_pallas:
             slabs_t = attach_pallas(slabs_t)

@@ -36,3 +36,52 @@ def test_banded_pivot_quality():
     assert it_band <= it_full + 3, (
         f"banded(51) quality regressed: {it_band} vs full {it_full} iters"
     )
+
+
+def test_banded_lr_pivot_quality():
+    """Band + low-rank correction must not regress beyond pure banding at
+    a NARROWER band (that's its purpose: the rank term picks up the
+    non-decaying off-band component)."""
+    it_full, conv_full = _iters("full")
+    it_lr, conv_lr = _iters("banded_lr", pivot_band=31)
+    assert conv_lr, "banded_lr(31, r=16) failed to converge"
+    assert it_lr <= it_full + 6, (
+        f"banded_lr(31) quality: {it_lr} vs full {it_full} iters"
+    )
+
+
+def test_banded_lr_wide_band_matches_bf16_class():
+    """At generous width/rank the banded_lr solve error sits in the bf16
+    class (its storage precision)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fast_solver_lippmann_schwinger_tpu.core.grids import Grid2D
+    from fast_solver_lippmann_schwinger_tpu.models import media
+    from fast_solver_lippmann_schwinger_tpu.sparse import stencils
+    from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
+        block_thomas_solve,
+        compress_factorization_banded_lr,
+        factor_stencil_2d,
+    )
+
+    grid = Grid2D(a=1.0, h=1.0 / 30.0)
+    k = 1.0 / grid.h
+    X, Y = grid.mesh()
+    nu = media.gaussian_bump_2d(X, Y)
+    a_st, ag_st = stencils.build_sparse_a_ag_2d(
+        k, grid.x, grid.y, grid.h, dtype=jnp.complex64
+    )
+    msp = stencils.build_msp_2d(a_st, ag_st, nu, k)
+    fac = factor_stencil_2d(msp)
+    n = grid.shape[1]
+    fac_lr = compress_factorization_banded_lr(fac, 2 * n - 1, 8)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(
+        (rng.standard_normal(grid.size) + 1j * rng.standard_normal(grid.size))
+        .astype(np.complex64)
+    )
+    x_full = np.asarray(block_thomas_solve(fac, b))
+    x_lr = np.asarray(block_thomas_solve(fac_lr, b))
+    rel = np.linalg.norm(x_lr - x_full) / np.linalg.norm(x_full)
+    assert rel < 0.05, f"banded_lr full-width solve error {rel}"
