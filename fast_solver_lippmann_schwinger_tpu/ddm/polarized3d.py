@@ -112,7 +112,13 @@ def block_apply(slabs: SlabSystem3D, v0, v1, vN, vNp):
         cpl_n_np=slabs.cpl_n_np, cpl_np_n=slabs.cpl_np_n,
     )
     rhs = jax.vmap(fill)(rhs, xs)
+    # the solver layer batches ONE trailing RHS axis — fold extra batch
+    # axes (e.g. (R, 2) from the batched MM apply) into it
+    if len(extra) > 1:
+        rhs = rhs.reshape(rhs.shape[:3] + (-1,))
     u = _solve_batched_3d(slabs, rhs, start=slabs.trace_head)
+    if len(extra) > 1:
+        u = u.reshape(u.shape[:3] + extra)
     idx = jnp.arange(slabs.n_subs)
     return (u[idx, slabs.l0], u[idx, slabs.l1],
             u[idx, slabs.ln], u[idx, slabs.lnp])
@@ -146,7 +152,7 @@ def apply_u_coupling(slabs: SlabSystem3D, u_gamma: jnp.ndarray) -> jnp.ndarray:
     v0, v1, vN, vNp = _devectorize(slabs, u_gamma)
     _, _, uN_t, uNp_t = block_apply(slabs, v0, v1, vN, vNp)
     out = jnp.stack([(uN_t - vN)[:-1], uNp_t[:-1]], axis=1)
-    return out.reshape(-1)
+    return out.reshape((-1,) + u_gamma.shape[1:])
 
 
 def apply_l_coupling(slabs: SlabSystem3D, u_gamma: jnp.ndarray) -> jnp.ndarray:
@@ -154,7 +160,7 @@ def apply_l_coupling(slabs: SlabSystem3D, u_gamma: jnp.ndarray) -> jnp.ndarray:
     v0, v1, vN, vNp = _devectorize(slabs, u_gamma)
     u0_t, u1_t, _, _ = block_apply(slabs, v0, v1, vN, vNp)
     out = jnp.stack([u0_t[1:], (u1_t - v1)[1:]], axis=1)
-    return out.reshape(-1)
+    return out.reshape((-1,) + u_gamma.shape[1:])
 
 
 def _slab_xs_range(slabs: SlabSystem3D, lo: int, hi: int):
@@ -169,11 +175,13 @@ def _slab_xs_range(slabs: SlabSystem3D, lo: int, hi: int):
 
 
 def _block_apply_single(slabs, xs, v0, v1, vN, vNp, start=0, tail=0):
-    """Single-slab plane block apply inside the Dinv recursions."""
+    """Single-slab plane block apply inside the Dinv recursions; trailing
+    axes of the traces (direction batches) ride the multi-RHS solve."""
     dtype = slabs.cpl_01.dtype
     m, n = slabs.m, slabs.n
-    rhs = jnp.zeros((slabs.l1_max, m * n), dtype=dtype)
-    zero = jnp.zeros((m * n,), dtype=dtype)
+    extra = v0.shape[1:]
+    rhs = jnp.zeros((slabs.l1_max, m * n) + extra, dtype=dtype)
+    zero = jnp.zeros((m * n,) + extra, dtype=dtype)
     rhs = rhs.at[xs["l1"]].set(
         jnp.where(xs["has_top"], -_cpl_multi(xs["cpl_10"], v0, m, n), zero)
     )
@@ -196,9 +204,10 @@ def apply_dinv_down(slabs: SlabSystem3D, u_gamma: jnp.ndarray) -> jnp.ndarray:
     """Sequential downward D^{-1} recursion on plane traces
     (``applyDinvDown``, ``src/subdomains.jl:725-753``)."""
     S, mn = slabs.n_subs, slabs.m * slabs.n
-    g = u_gamma.reshape(S - 1, 2, mn)
+    extra = u_gamma.shape[1:]
+    g = u_gamma.reshape((S - 1, 2, mn) + extra)
     first = -g[0]
-    zero = jnp.zeros((mn,), dtype=u_gamma.dtype)
+    zero = jnp.zeros((mn,) + extra, dtype=u_gamma.dtype)
 
     def step(carry, xs):
         vN, vNp = carry
@@ -213,16 +222,18 @@ def apply_dinv_down(slabs: SlabSystem3D, u_gamma: jnp.ndarray) -> jnp.ndarray:
 
     xs = dict(_slab_xs_range(slabs, 1, S - 1), g0=g[1:, 0], g1=g[1:, 1])
     _, rest = jax.lax.scan(step, (first[0], first[1]), xs)
-    return jnp.concatenate([first[None], rest], axis=0).reshape(-1)
+    out = jnp.concatenate([first[None], rest], axis=0)
+    return out.reshape((-1,) + extra)
 
 
 def apply_dinv_up(slabs: SlabSystem3D, u_gamma: jnp.ndarray) -> jnp.ndarray:
     """Sequential upward D^{-1} recursion on plane traces
     (``applyDinvUp``, ``src/subdomains.jl:785-814``)."""
     S, mn = slabs.n_subs, slabs.m * slabs.n
-    g = u_gamma.reshape(S - 1, 2, mn)
+    extra = u_gamma.shape[1:]
+    g = u_gamma.reshape((S - 1, 2, mn) + extra)
     last = -g[S - 2]
-    zero = jnp.zeros((mn,), dtype=u_gamma.dtype)
+    zero = jnp.zeros((mn,) + extra, dtype=u_gamma.dtype)
 
     def step(carry, xs):
         v0, v1 = carry
@@ -237,7 +248,8 @@ def apply_dinv_up(slabs: SlabSystem3D, u_gamma: jnp.ndarray) -> jnp.ndarray:
 
     xs = dict(_slab_xs_range(slabs, 1, S - 1), g0=g[:-1, 0], g1=g[:-1, 1])
     _, rest = jax.lax.scan(step, (last[0], last[1]), xs, reverse=True)
-    return jnp.concatenate([rest, last[None]], axis=0).reshape(-1)
+    out = jnp.concatenate([rest, last[None]], axis=0)
+    return out.reshape((-1,) + extra)
 
 
 def permute_to_pairs(slabs: SlabSystem3D, b_pol: jnp.ndarray) -> jnp.ndarray:
@@ -245,11 +257,13 @@ def permute_to_pairs(slabs: SlabSystem3D, b_pol: jnp.ndarray) -> jnp.ndarray:
     (``src/subdomains.jl:881-890``)."""
     S, mn = slabs.n_subs, slabs.m * slabs.n
     half = 2 * (S - 1) * mn
-    f1 = b_pol[:half].reshape(S - 1, 2, mn)
-    f0 = b_pol[half:].reshape(S - 1, 2, mn)
+    extra = b_pol.shape[1:]
+    f1 = b_pol[:half].reshape((S - 1, 2, mn) + extra)
+    f0 = b_pol[half:].reshape((S - 1, 2, mn) + extra)
     down = jnp.stack([f1[:, 0], f0[:, 0]], axis=1)
     up = jnp.stack([f0[:, 1], f1[:, 1]], axis=1)
-    return jnp.concatenate([down.reshape(-1), up.reshape(-1)])
+    flat = (-1,) + extra
+    return jnp.concatenate([down.reshape(flat), up.reshape(flat)])
 
 
 def precond_gauss_seidel(slabs: SlabSystem3D, v: jnp.ndarray,
@@ -277,8 +291,9 @@ def extract_rhs_traces(slabs: SlabSystem3D, b: jnp.ndarray):
     rhs = partition_source_3d(slabs, b)
     u = _solve_batched_3d(slabs, rhs)
     idx = jnp.arange(slabs.n_subs)
-    mask_top = slabs.has_top[:, None]
-    mask_bot = slabs.has_bot[:, None]
+    bshape = (slabs.n_subs,) + (1,) * (u.ndim - 2)
+    mask_top = slabs.has_top.reshape(bshape)
+    mask_bot = slabs.has_bot.reshape(bshape)
     u_0 = jnp.where(mask_top, u[idx, slabs.l0], 0.0)
     u_1 = jnp.where(mask_top, u[idx, slabs.l1], 0.0)
     u_n = jnp.where(mask_bot, u[idx, slabs.ln], 0.0)
@@ -358,6 +373,40 @@ class PolarizedTracesPreconditioner3D:
         u = u_pol[:half] + u_pol[half:]
         v0, v1, vn, vnp = _devectorize(slabs, u)
         return reconstruction(slabs, asb, v0, v1, vn, vnp)
+
+    def apply_batch(self, b_batch: jnp.ndarray) -> jnp.ndarray:
+        """(R, l*m*n) joint batch apply (``gmres_batched`` convention):
+        the R directions ride every plane solve of the trace pipeline as a
+        trailing axis and the inner trace solve runs as one
+        ``gmres_batched`` (2D counterpart:
+        ``PolarizedTracesPreconditioner.apply_batch``)."""
+        from fast_solver_lippmann_schwinger_tpu.solver.gmres import (
+            gmres_batched,
+        )
+
+        slabs = self.slabs
+        S, mn = slabs.n_subs, slabs.m * slabs.n
+        b = b_batch.T
+        asb = self.a_s.matvec(b)
+        u_0, u_1, u_n, u_np = extract_rhs_traces(slabs, asb)
+        f1 = _interface_vector(slabs, u_n, u_1)
+        f0 = _interface_vector(slabs, u_np, u_0)
+        f_pol = -jnp.concatenate([f1, f0])
+
+        matvec_b = lambda V: apply_mm(slabs, V.T).T
+        precond_b = lambda V: precond_gauss_seidel(
+            slabs, permute_to_pairs(slabs, V.T), self.n_it
+        ).T
+        u_pol, _info = gmres_batched(
+            matvec_b, f_pol.T, preconditioner=precond_b,
+            rtol=self.inner_tol, restart=min(20, f_pol.shape[0]),
+            maxiter=self.inner_maxiter,
+        )
+        u_pol = u_pol.T
+        half = 2 * (S - 1) * mn
+        u = u_pol[:half] + u_pol[half:]
+        v0, v1, vn, vnp = _devectorize(slabs, u)
+        return reconstruction(slabs, asb, v0, v1, vn, vnp).T
 
     def __call__(self, b):
         return self.apply(b)

@@ -110,3 +110,22 @@ def test_polarized3d_yblock_layout(setup):
     ref = np.asarray(polarized3d.apply_dinv_down(slabs, g))
     got = np.asarray(polarized3d.apply_dinv_down(slabs_y, g))
     np.testing.assert_allclose(got, ref, rtol=1e-8, atol=1e-10)
+
+
+def test_polarized3d_apply_batch_matches_rows(setup):
+    """3D apply_batch (trailing direction axis through the plane-trace
+    pipeline + one gmres_batched inner solve) == per-row apply."""
+    x, h, nu, op, a_st, slabs, X = setup
+    pc = polarized3d.PolarizedTracesPreconditioner3D(
+        slabs=slabs, a_s=a_st, n_it=2
+    )
+    rng = np.random.default_rng(11)
+    B = jnp.asarray(
+        rng.standard_normal((2, NN ** 3))
+        + 1j * rng.standard_normal((2, NN ** 3))
+    )
+    got = np.asarray(pc.apply_batch(B))
+    for r in range(2):
+        ref = np.asarray(pc.apply(B[r]))
+        err = np.max(np.abs(got[r] - ref)) / np.max(np.abs(ref))
+        assert err < 1e-10, err
