@@ -19,8 +19,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=48)
     ap.add_argument("--precond", default="sparsifying",
-                    choices=["sparsifying", "gs"],
-                    help="'gs' = 3D z-slab sweep (beyond the reference)")
+                    choices=["sparsifying", "gs", "polarized_traces"],
+                    help="'gs' = 3D z-slab sweep; 'polarized_traces' = "
+                         "plane-trace integral system (both beyond the "
+                         "reference)")
     ap.add_argument("--subs", type=int, default=4)
     ap.add_argument("--npml", type=int, default=5)
     ap.add_argument("--pivot-dtype", default="full",

@@ -49,8 +49,9 @@ def build_problem(
     cache_dir: str | None = None,
 ) -> Bump3DProblem:
     """``precond``: 'sparsifying' (full-grid factorization, reference
-    ``examples/example3D.jl`` semantics) or 'gs' (z-slab sweep — 3D DDM
-    capability beyond the reference)."""
+    ``examples/example3D.jl`` semantics), 'gs' (z-slab sweep), or
+    'polarized_traces' (plane-trace integral system) — the latter two are
+    3D DDM capabilities beyond the reference."""
     grid = Grid3D(a=1.0, h=h)
     k = 1.0 / h
     X, Y, Z = grid.mesh()
@@ -65,7 +66,7 @@ def build_problem(
         a_st, ag_st = stencils.build_sparse_a_ag_3d(
             k, op, dtype=dtype, cache_dir=cache_dir
         )
-        if precond == "gs":
+        if precond in ("gs", "polarized_traces"):
             from fast_solver_lippmann_schwinger_tpu.ddm.subdomain3d import (
                 SingleSweepPreconditioner3D,
                 build_slab_system_3d,
@@ -75,7 +76,14 @@ def build_problem(
                 a_st, ag_st, nu, grid.x, h, k, n_subdomains, npml=npml,
                 pivot_dtype=pivot_dtype, cache_dir=cache_dir,
             )
-            pc = SingleSweepPreconditioner3D(slabs=slabs, a_s=a_st)
+            if precond == "polarized_traces":
+                from fast_solver_lippmann_schwinger_tpu.ddm.polarized3d import (
+                    PolarizedTracesPreconditioner3D,
+                )
+
+                pc = PolarizedTracesPreconditioner3D(slabs=slabs, a_s=a_st)
+            else:
+                pc = SingleSweepPreconditioner3D(slabs=slabs, a_s=a_st)
         else:
             msp = stencils.build_msp_3d(a_st, ag_st, nu, k)
             pc = SparsifyingPreconditioner3D.build(msp, a_st)
