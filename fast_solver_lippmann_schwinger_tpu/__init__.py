@@ -71,12 +71,17 @@ from fast_solver_lippmann_schwinger_tpu.parallel.fft import (
     build_distributed_fast_convolution_2d,
     build_distributed_fast_convolution_3d,
 )
+from fast_solver_lippmann_schwinger_tpu.parallel.polarized import (
+    make_sharded_polarized_preconditioner,
+)
 from fast_solver_lippmann_schwinger_tpu.parallel.sharded import (
     make_sharded_double_sweep,
+    make_sharded_double_sweep_pipelined,
     shard_slab_system,
     sharded_gs_sweep,
     sharded_gs_sweep_pipelined,
 )
+from fast_solver_lippmann_schwinger_tpu.utils.fields import save_field
 
 __version__ = "0.1.0"
 
@@ -115,7 +120,10 @@ __all__ = [
     "build_distributed_fast_convolution_2d",
     "build_distributed_fast_convolution_3d",
     "make_sharded_double_sweep",
+    "make_sharded_double_sweep_pipelined",
+    "make_sharded_polarized_preconditioner",
     "shard_slab_system",
     "sharded_gs_sweep",
     "sharded_gs_sweep_pipelined",
+    "save_field",
 ]
