@@ -258,8 +258,12 @@ def measure_e2e_batched(h=1.0 / 800.0, subs=16, platform=None, pivot="pallas",
 
     c1 = jax.jit(lambda op, pc, v: chain(op, pc, v, 1))
     c3 = jax.jit(lambda op, pc, v: chain(op, pc, v, 3))
-    dirs = np.array([(1.0, 0.0), (0.0, 1.0), (0.6, 0.8), (-0.8, 0.6)])
-    dirs = dirs[:n_dirs]
+    if n_dirs <= 4:   # keep the historical direction set (round-3 parity)
+        dirs = np.array([(1.0, 0.0), (0.0, 1.0), (0.6, 0.8), (-0.8, 0.6)])
+        dirs = dirs[:n_dirs]
+    else:
+        ang = 2 * np.pi * np.arange(n_dirs) / n_dirs
+        dirs = np.stack([np.cos(ang), np.sin(ang)], axis=1)
     phases = dirs[:, 0:1] * X.ravel()[None] + dirs[:, 1:2] * Y.ravel()[None]
     n_inputs = 2 + 2 * repeats
     uis = [to_device_complex(np.exp(1j * (problem.k * phases + 1e-4 * i)),
