@@ -38,7 +38,8 @@ def main(argv=None):
                     help="inner-GMRES tolerance for *_inner preconds "
                          "(reference tol, default 1e-2)")
     ap.add_argument("--pivot-dtype", choices=[
-        "full", "bf16", "banded", "banded_lr", "pallas", "pallas_int8"])
+        "full", "bf16", "banded", "banded_lr", "banded_tail",
+        "pallas", "pallas_int8"])
     ap.add_argument("--pivot-band", type=int,
                     help="band width for --pivot-dtype banded/banded_lr")
     ap.add_argument("--pivot-rank", type=int,

@@ -365,6 +365,25 @@ def build_slab_system(
                     )
                 )
             )(v), None
+        if pivot_dtype == "banded_tail":
+            from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
+                compress_factorization_banded_tail,
+            )
+
+            width = pivot_band if pivot_band is not None else max(n // 8, 33)
+            # the near-interface lines (deepest bottom-trace line and below)
+            # carry effectively dense pivot inverses — keep them in full
+            # bf16 planes so the substitution recursions stay stable
+            # (RESULTS.md round 4), with a small safety margin
+            tail_keep = min(m1_max, max(trace_tail + 4, 8))
+            return jax.jit(
+                jax.vmap(
+                    lambda vv: compress_factorization_banded_tail(
+                        factor_stencil_2d(StencilMatrix2D(values=vv)),
+                        width, tail_keep,
+                    )
+                )
+            )(v), None
         if pivot_dtype == "banded_lr":
             from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
                 compress_factorization_banded_lr,

@@ -193,6 +193,63 @@ def compress_factorization_banded_lr(
     )
 
 
+@struct.dataclass
+class BlockTridiagFactorizationBandedTail:
+    """Tail-dense hybrid pivot storage: lines ``< tail_start`` keep only the
+    ``w`` central diagonals (bf16), lines ``>= tail_start`` keep the FULL
+    bf16 pivot plane.
+
+    Root cause this fixes (measured, RESULTS.md round 4): the near-interface
+    lines' pivot inverses are effectively dense interface Green's functions
+    — banding (or band+low-rank) them to ~30% error makes the ~90-step
+    substitution recursions amplify exponentially.  Interior lines' off-band
+    mass at w ~ n/8 is bf16-class, so banding THEM is stable.  The hybrid
+    stores exact-class planes only on the ~trace_tail interface lines:
+    ~27% of the full-bf16 bytes at the 801 headline geometry
+    (~1.1 bytes/entry amortized)."""
+
+    band_re: jnp.ndarray   # (m, n, w) bfloat16 (rows >= tail_start unused)
+    band_im: jnp.ndarray
+    tail_re: jnp.ndarray   # (m - tail_start, n, n) bfloat16
+    tail_im: jnp.ndarray
+    lband: jnp.ndarray     # (m, n, 3) complex
+    uband: jnp.ndarray     # (m, n, 3) complex
+    tail_start: int = struct.field(pytree_node=False)
+
+
+def compress_factorization_banded_tail(
+    fac: BlockTridiagFactorization, width: int, tail_lines: int
+) -> BlockTridiagFactorizationBandedTail:
+    """Band the head lines, keep full bf16 planes for the last
+    ``tail_lines`` lines."""
+    m = fac.cinv.shape[0]
+    tail_lines = int(min(max(tail_lines, 1), m))
+    ts = m - tail_lines
+    banded = compress_factorization_banded(fac, width)
+    tail = fac.cinv[ts:]
+    return BlockTridiagFactorizationBandedTail(
+        band_re=banded.band_re, band_im=banded.band_im,
+        tail_re=jnp.real(tail).astype(jnp.bfloat16),
+        tail_im=jnp.imag(tail).astype(jnp.bfloat16),
+        lband=fac.lband, uband=fac.uband, tail_start=ts,
+    )
+
+
+def _hybrid_views(fac: BlockTridiagFactorizationBandedTail):
+    """(head banded view, tail dense-bf16 view) with locally-indexed
+    arrays, so the segment scans reuse the generic per-line machinery."""
+    ts = fac.tail_start
+    head = BlockTridiagFactorizationBanded(
+        band_re=fac.band_re[:ts], band_im=fac.band_im[:ts],
+        lband=fac.lband[:ts], uband=fac.uband[:ts],
+    )
+    tail = BlockTridiagFactorizationBF16(
+        cinv_re=fac.tail_re, cinv_im=fac.tail_im,
+        lband=fac.lband[ts:], uband=fac.uband[ts:],
+    )
+    return head, tail
+
+
 def _lowrank_pivot_correction(fac_slice, y):
     """``U (V^H y)`` rank-r correction on top of the banded pivot apply."""
     u = jax.lax.complex(
@@ -377,7 +434,24 @@ def _fwd_scan(fac, bg, start: int = 0, t_start=None, collect_t: bool = False):
     threaded through scan xs: threading the (m1, n, n) stacks through xs
     measured ~1.7x SLOWER (XLA materializes relayout copies of the xs
     inputs), see RESULTS.md.
+
+    Tail-dense hybrid factorizations run as TWO chained segment scans
+    (banded head, dense-bf16 tail) with the forward carry handed across.
     """
+    if hasattr(fac, "tail_start"):
+        ts = fac.tail_start
+        head, tailv = _hybrid_views(fac)
+        if start >= ts:
+            return _fwd_scan(tailv, bg[ts:], start=start - ts,
+                             t_start=t_start, collect_t=collect_t)
+        yh, th = _fwd_scan(head, bg[:ts], start=start, t_start=t_start,
+                           collect_t=True)
+        yt, tt = _fwd_scan(tailv, bg[ts:], t_start=th[-1], collect_t=True)
+        y = jnp.concatenate([yh, yt], axis=0)
+        if collect_t:
+            return y, jnp.concatenate([th, tt], axis=0)
+        return y, None
+
     m = fac.lband.shape[0]
     dtype = fac.lband.dtype
     lines = jnp.arange(start, m)
@@ -397,13 +471,27 @@ def _fwd_scan(fac, bg, start: int = 0, t_start=None, collect_t: bool = False):
     return out if collect_t else (out, None)
 
 
-def _bwd_scan(fac, y, tail: int = 0):
+def _bwd_scan(fac, y, tail: int = 0, x_start=None):
     """Backward substitution ``x_j = C_j^{-1}(y_j - U_j x_{j+1})``.
 
     With ``tail > 0`` only the last ``tail`` lines are materialized (the
     recursion starts at the true last line, so they are EXACT; lines above
-    are returned as zeros).
+    are returned as zeros).  ``x_start`` supplies the incoming carry when
+    this call solves an upper SEGMENT of a larger system (hybrid path).
     """
+    if hasattr(fac, "tail_start"):
+        ts = fac.tail_start
+        m = fac.lband.shape[0]
+        head, tailv = _hybrid_views(fac)
+        if 0 < tail <= m - ts:
+            xt = _bwd_scan(tailv, y[ts:], tail=tail, x_start=x_start)
+            out = jnp.zeros((m,) + y.shape[1:], dtype=fac.lband.dtype)
+            return out.at[ts:].set(xt)
+        xt = _bwd_scan(tailv, y[ts:], x_start=x_start)
+        head_tail = 0 if (tail <= 0 or tail >= m) else tail - (m - ts)
+        xh = _bwd_scan(head, y[:ts], tail=head_tail, x_start=xt[0])
+        return jnp.concatenate([xh, xt], axis=0)
+
     m = fac.lband.shape[0]
     dtype = fac.lband.dtype
     full = tail <= 0 or tail >= m
@@ -418,7 +506,8 @@ def _bwd_scan(fac, y, tail: int = 0):
         )
         return x_j, x_j
 
-    x0 = jnp.zeros(y.shape[1:], dtype=dtype)
+    x0 = (jnp.zeros(y.shape[1:], dtype=dtype)
+          if x_start is None else x_start.astype(dtype))
     # reverse=True iterates back-to-front without materializing reversed
     # copies of the pivot arrays
     _, x = jax.lax.scan(

@@ -38,6 +38,64 @@ def test_banded_pivot_quality():
     )
 
 
+def test_banded_tail_pivot_quality():
+    """The tail-dense hybrid (full bf16 planes on the near-interface lines,
+    band elsewhere) must match the full-pivot iteration class — the dense
+    tail removes the exponential error amplification that kills uniform
+    banding/band+low-rank at scale (RESULTS.md round 4)."""
+    it_full, conv_full = _iters("full")
+    it_ht, conv_ht = _iters("banded_tail", pivot_band=51)
+    assert conv_ht, "banded_tail(51) failed to converge"
+    assert it_ht <= it_full + 2, (
+        f"banded_tail(51) quality: {it_ht} vs full {it_full} iters"
+    )
+
+
+def test_banded_tail_solve_matches_bf16_class():
+    """Full-width tail-dense hybrid == bf16-class solve error, and the
+    cached/resume fast path stays bit-identical to its own full solve."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fast_solver_lippmann_schwinger_tpu.core.grids import Grid2D
+    from fast_solver_lippmann_schwinger_tpu.models import media
+    from fast_solver_lippmann_schwinger_tpu.sparse import stencils
+    from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
+        block_thomas_solve,
+        block_thomas_solve_cached,
+        block_thomas_solve_resume,
+        compress_factorization_banded_tail,
+        factor_stencil_2d,
+    )
+
+    grid = Grid2D(a=1.0, h=1.0 / 30.0)
+    k = 1.0 / grid.h
+    X, Y = grid.mesh()
+    nu = media.gaussian_bump_2d(X, Y)
+    a_st, ag_st = stencils.build_sparse_a_ag_2d(
+        k, grid.x, grid.y, grid.h, dtype=jnp.complex64
+    )
+    msp = stencils.build_msp_2d(a_st, ag_st, nu, k)
+    fac = factor_stencil_2d(msp)
+    m, n = grid.shape
+    hyb = compress_factorization_banded_tail(fac, 2 * n - 1, 8)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(
+        (rng.standard_normal((m, n)) + 1j * rng.standard_normal((m, n)))
+        .astype(np.complex64)
+    )
+    x_full = np.asarray(block_thomas_solve(fac, b))
+    x_h = np.asarray(block_thomas_solve(hyb, b))
+    rel = np.linalg.norm(x_h - x_full) / np.linalg.norm(x_full)
+    assert rel < 0.05, f"hybrid full-width solve error {rel}"
+
+    _, y_c, t_c = block_thomas_solve_cached(hyb, b, tail=6)
+    b2 = b.at[m - 3].add(1.0 + 0.5j)
+    got = np.asarray(block_thomas_solve_resume(hyb, b2, y_c, t_c, 5))
+    want = np.asarray(block_thomas_solve(hyb, b2))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
 def test_banded_lr_pivot_quality():
     """Band + low-rank correction must not regress beyond pure banding at
     a NARROWER band (that's its purpose: the rank term picks up the
