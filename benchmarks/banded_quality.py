@@ -54,6 +54,8 @@ def main():
     for w in widths:
         run("banded", w)
     for w in widths:
+        run("banded_tail", w)
+    for w in widths:
         for r in [int(r) for r in args.ranks.split(",") if r]:
             run("banded_lr", w, r)
 
