@@ -39,9 +39,10 @@ def main(argv=None):
                          "(reference tol, default 1e-2)")
     ap.add_argument("--pivot-dtype", choices=[
         "full", "bf16", "banded", "banded_lr", "banded_tail",
-        "pallas", "pallas_int8"])
+        "pallas", "pallas_int8", "pallas_banded_tail"])
     ap.add_argument("--pivot-band", type=int,
-                    help="band width for --pivot-dtype banded/banded_lr")
+                    help="band width for banded pivot modes (default: the "
+                         "measured w(n) rule, ~n/4)")
     ap.add_argument("--pivot-rank", type=int,
                     help="low-rank correction rank for banded_lr")
     ap.add_argument("--subs", type=int, help="number of DDM slabs")

@@ -88,8 +88,9 @@ class ProblemConfig:
                                        # None = sniff the current backend
     precond: str = "sparsifying"
     pivot_dtype: str = "full"          # full | bf16 | banded | banded_lr |
-                                       # banded_tail | pallas |
-                                       # pallas_int8 (DDM pivot storage)
+                                       # banded_tail | pallas | pallas_int8 |
+                                       # pallas_banded_tail (DDM pivot
+                                       # storage)
     pivot_band: int | None = None      # band width for banded/banded_lr
     pivot_rank: int | None = None      # low-rank correction rank (banded_lr)
     cache_dir: str | None = None       # checkpoint dir for expensive setup

@@ -45,14 +45,20 @@ from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
 from fast_solver_lippmann_schwinger_tpu.sparse.stencil_matrix import StencilMatrix2D
 
 
-def _pallas_only(slabs) -> bool:
+def pallas_only(slabs) -> bool:
     """True when the fused-Pallas layout is the SOLE pivot storage
-    (``pivot_dtype="pallas"``: the XLA-side ``fac`` carries an empty
+    (``pivot_dtype="pallas*"``: the XLA-side ``fac`` carries an empty
     placeholder pivot stack).  ``attach_pallas`` applied to a system built
     with full-precision pivots accelerates the volume sweeps only — this
     layer keeps the full-precision local solves rather than silently
-    downgrading to bf16 Pallas pivots."""
-    return slabs.pfac is not None and slabs.fac.cinv.shape[-1] == 0
+    downgrading to bf16 Pallas pivots.  Compressed XLA formats
+    (bf16/banded/banded_tail/banded_lr) store ``cinv_re``/``band_re``
+    instead of ``cinv`` and are NOT pallas-only."""
+    cinv = getattr(slabs.fac, "cinv", None)
+    return slabs.pfac is not None and cinv is not None and cinv.shape[-1] == 0
+
+
+_pallas_only = pallas_only
 
 
 def _solve_batched(slabs, rhs, start: int = 0):

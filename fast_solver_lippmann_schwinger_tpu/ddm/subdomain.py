@@ -307,6 +307,37 @@ def build_slab_system(
 
     def _factor(v):
         """(fac, pfac) for the requested pivot mode — the expensive step."""
+        if pivot_dtype == "pallas_banded_tail":
+            # fused hybrid sweep path: block-banded head pivots + dense bf16
+            # tail planes in one Pallas kernel (~0.45x the dense-bf16 pivot
+            # bytes at iteration near-parity; sparse/pallas_thomas.py)
+            from fast_solver_lippmann_schwinger_tpu.sparse import (
+                pallas_thomas as pt,
+            )
+
+            tail_keep = min(m1_max, max(trace_tail + 4, 8))
+
+            @jax.jit
+            def _factor_pallas_ht(vv):
+                fac_full = jax.vmap(
+                    lambda w: factor_stencil_2d(StencilMatrix2D(values=w))
+                )(vv)
+                return (
+                    pt.build_pallas_banded_tail(
+                        fac_full, width=pivot_band, tail_lines=tail_keep,
+                    ),
+                    fac_full.lband,
+                    fac_full.uband,
+                )
+
+            pfac, lb, ub = _factor_pallas_ht(v)
+            fac = BlockTridiagFactorization(
+                cinv=to_device_complex(
+                    np.zeros((S, m1_max, 0, 0)), dtype
+                ),
+                lband=lb, uband=ub,
+            )
+            return fac, pfac
         if pivot_dtype in ("pallas", "pallas_int8"):
             # fused-Pallas sweep path: store ONLY the padded/transposed
             # bf16/int8 layout (sparse/pallas_thomas.py); the XLA-side fac
@@ -357,7 +388,12 @@ def build_slab_system(
                 compress_factorization_banded,
             )
 
-            width = pivot_band if pivot_band is not None else max(n // 8, 33)
+            from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
+                default_band_width,
+            )
+
+            width = (pivot_band if pivot_band is not None
+                     else default_band_width(n))
             return jax.jit(
                 jax.vmap(
                     lambda vv: compress_factorization_banded(
@@ -370,7 +406,12 @@ def build_slab_system(
                 compress_factorization_banded_tail,
             )
 
-            width = pivot_band if pivot_band is not None else max(n // 8, 33)
+            from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
+                default_band_width,
+            )
+
+            width = (pivot_band if pivot_band is not None
+                     else default_band_width(n))
             # the near-interface lines (deepest bottom-trace line and below)
             # carry effectively dense pivot inverses — keep them in full
             # bf16 planes so the substitution recursions stay stable
@@ -389,7 +430,12 @@ def build_slab_system(
                 compress_factorization_banded_lr,
             )
 
-            width = pivot_band if pivot_band is not None else max(n // 8, 33)
+            from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
+                default_band_width,
+            )
+
+            width = (pivot_band if pivot_band is not None
+                     else default_band_width(n))
             rank = pivot_rank if pivot_rank is not None else 24
             return jax.jit(
                 jax.vmap(

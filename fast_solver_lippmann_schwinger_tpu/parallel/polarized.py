@@ -32,6 +32,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from fast_solver_lippmann_schwinger_tpu.ddm.polarized import (
     _devectorize,
     _interface_vector,
+    pallas_only,
     permute_to_pairs,
 )
 from fast_solver_lippmann_schwinger_tpu.ddm.subdomain import SlabSystem
@@ -240,9 +241,10 @@ def make_sharded_polarized_preconditioner(
     S = slabs.n_subs
     D = mesh.shape[axis]
     assert S % D == 0, f"{S} slabs must divide over {D} devices"
-    assert slabs.fac.cinv.shape[-1] > 0, (
+    assert not pallas_only(slabs), (
         "sharded polarized traces needs XLA-format pivots "
-        "(pivot_dtype full/bf16/banded), not the Pallas-only layout"
+        "(pivot_dtype full/bf16/banded/banded_tail), not the Pallas-only "
+        "placeholder layout"
     )
     k = S // D
     n = slabs.n

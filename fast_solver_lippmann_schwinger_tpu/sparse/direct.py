@@ -95,11 +95,27 @@ class BlockTridiagFactorizationBanded:
     uband: jnp.ndarray     # (m, n, 3) complex
 
 
+def default_band_width(n: int) -> int:
+    """Measured w(n) selection rule for banded pivot storage.
+
+    The required band width SCALES with the line length: w = 101 holds
+    iteration parity at n = 201 but blows iterations up at n = 801, where
+    w = 201 is needed (9/9 vs bf16's 6/6; RESULTS.md round 4).  w ~ n/4
+    (odd, floor 33) tracks both measured points; callers picking a fixed
+    yesterday's width at a larger n silently lose preconditioner quality,
+    so ``width=None`` everywhere routes here.
+    """
+    return min(max(n // 4, 33) | 1, 2 * n - 1)
+
+
 def compress_factorization_banded(
-    fac: BlockTridiagFactorization, width: int
+    fac: BlockTridiagFactorization, width: int | None = None
 ) -> BlockTridiagFactorizationBanded:
-    """Extract the central ``width`` diagonals of each pivot inverse."""
+    """Extract the central ``width`` diagonals of each pivot inverse
+    (``width=None`` applies the measured :func:`default_band_width` rule)."""
     m, n = fac.cinv.shape[0], fac.cinv.shape[1]
+    if width is None:
+        width = default_band_width(n)
     width = min(width | 1, 2 * n - 1)    # odd, capped
     half = width // 2
     i = jnp.arange(n)[:, None]
@@ -218,10 +234,10 @@ class BlockTridiagFactorizationBandedTail:
 
 
 def compress_factorization_banded_tail(
-    fac: BlockTridiagFactorization, width: int, tail_lines: int
+    fac: BlockTridiagFactorization, width: int | None, tail_lines: int
 ) -> BlockTridiagFactorizationBandedTail:
     """Band the head lines, keep full bf16 planes for the last
-    ``tail_lines`` lines."""
+    ``tail_lines`` lines (``width=None`` -> :func:`default_band_width`)."""
     m = fac.cinv.shape[0]
     tail_lines = int(min(max(tail_lines, 1), m))
     ts = m - tail_lines
@@ -427,8 +443,8 @@ def _as_line_stack(fac, b):
 
 def _fwd_scan(fac, bg, start: int = 0, t_start=None, collect_t: bool = False):
     """Forward substitution ``y_j = b_j - L_j t_{j-1}``, ``t_j = C_j^{-1} y_j``
-    over lines ``start..m-1``; returns the ``y`` stack (and the ``t`` stack
-    when ``collect_t``).
+    over lines ``start..m-1``; returns ``(y stack, t stack or None, final
+    carry t_{m-1})``.
 
     The pivot stack is indexed per line inside the loop body rather than
     threaded through scan xs: threading the (m1, n, n) stacks through xs
@@ -436,7 +452,9 @@ def _fwd_scan(fac, bg, start: int = 0, t_start=None, collect_t: bool = False):
     inputs), see RESULTS.md.
 
     Tail-dense hybrid factorizations run as TWO chained segment scans
-    (banded head, dense-bf16 tail) with the forward carry handed across.
+    (banded head, dense-bf16 tail) with the forward carry (NOT a collected
+    head stack — that would keep an (ts, n, r) stack alive just to read its
+    last line) handed across.
     """
     if hasattr(fac, "tail_start"):
         ts = fac.tail_start
@@ -444,13 +462,14 @@ def _fwd_scan(fac, bg, start: int = 0, t_start=None, collect_t: bool = False):
         if start >= ts:
             return _fwd_scan(tailv, bg[ts:], start=start - ts,
                              t_start=t_start, collect_t=collect_t)
-        yh, th = _fwd_scan(head, bg[:ts], start=start, t_start=t_start,
-                           collect_t=True)
-        yt, tt = _fwd_scan(tailv, bg[ts:], t_start=th[-1], collect_t=True)
+        yh, th, t_mid = _fwd_scan(head, bg[:ts], start=start, t_start=t_start,
+                                  collect_t=collect_t)
+        yt, tt, t_fin = _fwd_scan(tailv, bg[ts:], t_start=t_mid,
+                                  collect_t=collect_t)
         y = jnp.concatenate([yh, yt], axis=0)
         if collect_t:
-            return y, jnp.concatenate([th, tt], axis=0)
-        return y, None
+            return y, jnp.concatenate([th, tt], axis=0), t_fin
+        return y, None, t_fin
 
     m = fac.lband.shape[0]
     dtype = fac.lband.dtype
@@ -464,11 +483,13 @@ def _fwd_scan(fac, bg, start: int = 0, t_start=None, collect_t: bool = False):
         return t_j, out
 
     t0 = jnp.zeros(bg.shape[1:], dtype=dtype) if t_start is None else t_start
-    _, out = jax.lax.scan(
+    t_fin, out = jax.lax.scan(
         fwd, t0, (bg[start:].astype(dtype), fac.lband[start:], lines),
         unroll=_SOLVE_UNROLL,
     )
-    return out if collect_t else (out, None)
+    if collect_t:
+        return out[0], out[1], t_fin
+    return out, None, t_fin
 
 
 def _bwd_scan(fac, y, tail: int = 0, x_start=None):
@@ -527,7 +548,7 @@ def block_thomas_solve(fac: BlockTridiagFactorization, b: jnp.ndarray) -> jnp.nd
     (m*n, r); the result matches the input shape.
     """
     bg = _as_line_stack(fac, b)
-    y, _ = _fwd_scan(fac, bg)
+    y, _, _ = _fwd_scan(fac, bg)
     return _bwd_scan(fac, y).reshape(b.shape)
 
 
@@ -540,7 +561,7 @@ def block_thomas_solve_tail(fac: BlockTridiagFactorization, b: jnp.ndarray,
     ~2*npml steps (the forward pass still runs over all lines).
     """
     bg = _as_line_stack(fac, b)
-    y, _ = _fwd_scan(fac, bg)
+    y, _, _ = _fwd_scan(fac, bg)
     return _bwd_scan(fac, y, tail).reshape(b.shape)
 
 
@@ -558,9 +579,9 @@ def block_thomas_solve_support(fac: BlockTridiagFactorization, b: jnp.ndarray,
     m = fac.lband.shape[0]
     bg = _as_line_stack(fac, b)
     if start <= 0 or start >= m:
-        y, _ = _fwd_scan(fac, bg)
+        y, _, _ = _fwd_scan(fac, bg)
     else:
-        y_new, _ = _fwd_scan(fac, bg, start=start)
+        y_new, _, _ = _fwd_scan(fac, bg, start=start)
         y = jnp.concatenate(
             [jnp.zeros((start,) + y_new.shape[1:], y_new.dtype), y_new], axis=0
         )
@@ -573,7 +594,7 @@ def block_thomas_solve_cached(fac: BlockTridiagFactorization, b: jnp.ndarray,
     ``(y, t)`` so a later solve whose rhs differs only on the last lines can
     resume the forward substitution (``block_thomas_solve_resume``)."""
     bg = _as_line_stack(fac, b)
-    y, t = _fwd_scan(fac, bg, collect_t=True)
+    y, t, _ = _fwd_scan(fac, bg, collect_t=True)
     return _bwd_scan(fac, y, tail).reshape(b.shape), y, t
 
 
@@ -595,7 +616,7 @@ def block_thomas_solve_resume(fac: BlockTridiagFactorization, b: jnp.ndarray,
         return block_thomas_solve(fac, b)
     bg = _as_line_stack(fac, b)
     j0 = m - resume
-    y_new, _ = _fwd_scan(fac, bg, start=j0, t_start=t_cached[j0 - 1])
+    y_new, _, _ = _fwd_scan(fac, bg, start=j0, t_start=t_cached[j0 - 1])
     y = jnp.concatenate([y_cached[:j0].astype(y_new.dtype), y_new], axis=0)
     return _bwd_scan(fac, y).reshape(b.shape)
 

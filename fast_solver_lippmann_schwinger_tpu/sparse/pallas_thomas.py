@@ -356,11 +356,18 @@ def _from_rows(rows: jnp.ndarray, n: int, dtype, m: int,
     return jax.lax.dynamic_update_slice(out, x, (offset, 0))
 
 
-def solve(fac: PallasFactorization, s_idx, b: jnp.ndarray, tail: int = 0,
+def solve(fac, s_idx, b: jnp.ndarray, tail: int = 0,
           interpret: bool | None = None) -> jnp.ndarray:
     """``S x = b`` for slab ``s_idx`` (traced scalar ok); semantics of
     ``direct.block_thomas_solve(_tail)``.  Multi-RHS (m, n, r) dispatches
-    to the batched kernels (one pivot stream for all r columns)."""
+    to the batched kernels (one pivot stream for all r columns).  Accepts
+    either the dense :class:`PallasFactorization` or the hybrid
+    :class:`PallasFactorizationBandedTail` layout."""
+    if hasattr(fac, "head_re"):
+        return _ht_solve_all(
+            fac, jnp.asarray(s_idx, jnp.int32).reshape(1), b[None],
+            tail=tail, interpret=interpret,
+        )[0]
     if b.ndim == 3:
         return solve_all(
             fac, jnp.asarray(s_idx, jnp.int32).reshape(1), b[None],
@@ -384,6 +391,8 @@ def solve_cached(fac: PallasFactorization, s_idx, b: jnp.ndarray,
     streams each pivot plane from HBM once for ALL r columns (the sweeps'
     dominant byte traffic — this is the per-solve amortization the batched
     outer GMRES buys)."""
+    if hasattr(fac, "head_re"):
+        return _ht_solve_cached(fac, s_idx, b, tail=tail, interpret=interpret)
     if b.ndim == 3:
         return _solve_cached_multi(fac, s_idx, b, tail=tail,
                                    interpret=interpret)
@@ -418,6 +427,9 @@ def solve_resume(fac: PallasFactorization, s_idx, b: jnp.ndarray,
     """Solve where b differs from the cached rhs only on the last ``resume``
     lines (``block_thomas_solve_resume``); single- or multi-RHS matching
     the caches produced by :func:`solve_cached`."""
+    if hasattr(fac, "head_re"):
+        return _ht_solve_resume(fac, s_idx, b, y_cached, t_cached, resume,
+                                interpret=interpret)
     if b.ndim == 3:
         return _solve_resume_multi(fac, s_idx, b, y_cached, t_cached,
                                    resume, interpret=interpret)
@@ -463,6 +475,11 @@ def solve_support(fac: PallasFactorization, s_idx, b: jnp.ndarray,
     """Solve with b zero on lines < ``start``
     (``block_thomas_solve_support``); multi-RHS (m, n, r) dispatches to
     the batched kernels."""
+    if hasattr(fac, "head_re"):
+        return _ht_solve_all(
+            fac, jnp.asarray(s_idx, jnp.int32).reshape(1), b[None],
+            start=start, tail=tail, interpret=interpret,
+        )[0]
     if b.ndim == 3:
         return solve_all(
             fac, jnp.asarray(s_idx, jnp.int32).reshape(1), b[None],
@@ -732,6 +749,9 @@ def solve_all(fac: PallasFactorization, s_idx, b: jnp.ndarray,
     asserts the rhs is zero on lines < start (exact head-start); ``tail``
     truncates the backward pass.  Batched counterpart of
     ``vmap(block_thomas_solve_support)``."""
+    if hasattr(fac, "head_re"):
+        return _ht_solve_all(fac, s_idx, b, start=start, tail=tail,
+                             interpret=interpret)
     s = jnp.asarray(s_idx, jnp.int32).reshape(-1)
     dtype = b.dtype
     m = fac.m
@@ -747,3 +767,389 @@ def solve_all(fac: PallasFactorization, s_idx, b: jnp.ndarray,
     x4 = _bwd_b(fac, s, y4, tail=tail, interpret=interpret)
     off = 0 if (tail <= 0 or tail >= m) else m - tail
     return _from_rows_b(x4, fac.n, dtype, m, off).reshape(b.shape)
+
+
+# ---------------------------------------------------------------------------
+# Fused banded+tail hybrid kernels.
+#
+# The XLA ``banded_tail`` pivot format (``direct.py``) saves 37% of the bf16
+# pivot bytes at iteration near-parity, but its w shifted multiply-adds per
+# line are op-overhead-bound on XLA (916.6 ms/solve at the 801 headline vs
+# the 269.5 ms dense-bf16 Pallas path — RESULTS.md round 4).  Here the byte
+# win becomes wall-clock: one kernel walks the lines, streaming BLOCK-BANDED
+# head pivots (each 128-lane output block only couples to a (128 + 2*halo)-
+# lane input window — the banded apply is nb windowed MXU matmuls, not w
+# shifted VPU MACs) and dense bf16 planes on the near-interface tail lines,
+# with the substitution carry staying in VMEM across the head/tail boundary.
+#
+# Both storage tensors ride the same grid: each BlockSpec index map CLAMPS
+# into its own segment, and the Pallas pipeline skips the HBM fetch whenever
+# consecutive steps map to the same block — during head steps the tail ref
+# sits pinned (and vice versa), so per line exactly ONE pivot representation
+# streams from HBM.  Replaces the UMFPACK/PARDISO solve role
+# (``src/preconditioner.jl:557-630``) at ~0.45x the dense-bf16 bytes.
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class PallasFactorizationBandedTail:
+    """Hybrid slab pivot storage for the fused Pallas sweeps.
+
+    Head lines (``< tail_start``) keep a BLOCK-BANDED windowed layout:
+    ``head_*[s, j, p, w, o]`` is the (input-window, output-lane) tile of the
+    TRANSPOSED banded pivot inverse for output block ``p`` — window width
+    ``W = 128 + 2*halo`` covers all couplings ``|out - in| <= width//2``.
+    Tail lines keep full transposed bf16 planes (near-interface pivot
+    inverses are effectively dense interface Green's functions; banding them
+    destabilizes the substitution recursions — RESULTS.md round 4).
+    """
+
+    head_re: jnp.ndarray   # (S, ts, nb, W, 128) bf16
+    head_im: jnp.ndarray
+    tail_re: jnp.ndarray   # (S, m - ts, np, np) bf16, transposed
+    tail_im: jnp.ndarray
+    lband: jnp.ndarray     # (S, m, 2, 3, np) f32
+    uband: jnp.ndarray     # (S, m, 2, 3, np) f32
+    n: int = struct.field(pytree_node=False)
+    tail_start: int = struct.field(pytree_node=False)
+    halo: int = struct.field(pytree_node=False)   # input-window half-overhang
+    width: int = struct.field(pytree_node=False)  # kept band diagonals
+
+    @property
+    def n_slabs(self) -> int:
+        return self.lband.shape[0]
+
+    @property
+    def m(self) -> int:
+        return self.lband.shape[1]
+
+    @property
+    def np_(self) -> int:
+        return self.tail_re.shape[2]
+
+
+def build_pallas_banded_tail(
+    fac, width: int | None = None, tail_lines: int = 8, batched: bool = True,
+) -> PallasFactorizationBandedTail:
+    """Convert a (batched) full-precision ``BlockTridiagFactorization`` to
+    the fused banded+tail Pallas layout.
+
+    ``width=None`` applies the measured w(n) rule
+    (``direct.default_band_width``); ``tail_lines`` counts the trailing
+    lines stored as full bf16 planes (callers pass ``trace_tail + margin``).
+    """
+    from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
+        default_band_width,
+    )
+
+    cinv = fac.cinv if batched else fac.cinv[None]
+    lband = fac.lband if batched else fac.lband[None]
+    uband = fac.uband if batched else fac.uband[None]
+    S, m, n = cinv.shape[0], cinv.shape[1], cinv.shape[2]
+    if width is None:
+        width = default_band_width(n)
+    width = min(width | 1, 2 * n - 1)
+    half = width // 2
+    tail_lines = int(min(max(tail_lines, 1), m - 1))
+    ts = m - tail_lines
+    npad = _round_up(n, 128)
+    nb = npad // 128
+    halo = _round_up(half, 8)
+    W = 128 + 2 * halo
+
+    ct = jnp.swapaxes(cinv, -1, -2)                  # (S, m, in, out)
+
+    head = ct[:, :ts]
+    ii = jnp.arange(n)[:, None]
+    oo = jnp.arange(n)[None, :]
+    head = jnp.where((jnp.abs(ii - oo) <= half)[None, None], head, 0.0)
+    head = jnp.pad(
+        head, [(0, 0), (0, 0), (halo, npad - n + halo), (0, npad - n)]
+    )
+    packs = jnp.stack(
+        [head[:, :, 128 * p : 128 * p + W, 128 * p : 128 * p + 128]
+         for p in range(nb)],
+        axis=2,
+    )                                                # (S, ts, nb, W, 128)
+    head_re = jnp.real(packs).astype(jnp.bfloat16)
+    head_im = jnp.imag(packs).astype(jnp.bfloat16)
+
+    tail = jnp.pad(
+        ct[:, ts:], [(0, 0), (0, 0), (0, npad - n), (0, npad - n)]
+    )
+    tail_re = jnp.real(tail).astype(jnp.bfloat16)
+    tail_im = jnp.imag(tail).astype(jnp.bfloat16)
+
+    def band_pack(band):
+        b = jnp.moveaxis(band, -1, -2)               # (S, m, 3, n)
+        b = jnp.pad(b, [(0, 0), (0, 0), (0, 0), (0, npad - n)])
+        return jnp.stack(
+            [jnp.real(b).astype(jnp.float32), jnp.imag(b).astype(jnp.float32)],
+            axis=2,
+        )
+
+    return PallasFactorizationBandedTail(
+        head_re=head_re, head_im=head_im,
+        tail_re=tail_re, tail_im=tail_im,
+        lband=band_pack(lband), uband=band_pack(uband),
+        n=n, tail_start=ts, halo=halo, width=width,
+    )
+
+
+def _ht_head_pivot(y, ypad, hr_ref, hi_ref, halo):
+    """Block-banded pivot apply: per output block p, one (r2, W) x (W, 128)
+    MXU matmul pair against the windowed transposed band tiles."""
+    r = y.shape[0] // 2
+    npad = y.shape[1]
+    nb, W = hr_ref.shape[2], hr_ref.shape[3]
+    ypad[:, halo : halo + npad] = y
+    yp = ypad[...]
+    z1s, z2s = [], []
+    for p in range(nb):
+        yw = yp[:, 128 * p : 128 * p + W]
+        z1s.append(jnp.dot(yw, hr_ref[0, 0, p].astype(jnp.float32),
+                           preferred_element_type=jnp.float32))
+        z2s.append(jnp.dot(yw, hi_ref[0, 0, p].astype(jnp.float32),
+                           preferred_element_type=jnp.float32))
+    z1 = jnp.concatenate(z1s, axis=1)
+    z2 = jnp.concatenate(z2s, axis=1)
+    return jnp.concatenate([z1[:r] - z2[r:], z1[r:] + z2[:r]], axis=0)
+
+
+def _ht_tail_pivot(y, tr_ref, ti_ref):
+    r = y.shape[0] // 2
+    z1 = jnp.dot(y, tr_ref[0, 0].astype(jnp.float32),
+                 preferred_element_type=jnp.float32)
+    z2 = jnp.dot(y, ti_ref[0, 0].astype(jnp.float32),
+                 preferred_element_type=jnp.float32)
+    return jnp.concatenate([z1[:r] - z2[r:], z1[r:] + z2[:r]], axis=0)
+
+
+def _fwd_kernel_ht(s_ref, b_ref, lb_ref, hr_ref, hi_ref, tr_ref, ti_ref,
+                   tinit_ref, y_ref, t_ref, tprev, ypad, *, ts, start, halo):
+    j = pl.program_id(1)
+    line = start + j
+
+    @pl.when(j == 0)
+    def _():
+        tprev[...] = tinit_ref[0]
+        ypad[...] = jnp.zeros_like(ypad)
+
+    r = tprev.shape[0] // 2
+    accr, acci = _band_apply_multi(lb_ref[0, 0], tprev[...])
+    b = b_ref[0, 0]
+    y = jnp.concatenate([b[:r] - accr, b[r:] - acci], axis=0)
+    y_ref[0, 0] = y
+
+    @pl.when(line < ts)
+    def _():
+        tn = _ht_head_pivot(y, ypad, hr_ref, hi_ref, halo)
+        tprev[...] = tn
+        t_ref[0, 0] = tn
+
+    @pl.when(line >= ts)
+    def _():
+        tn = _ht_tail_pivot(y, tr_ref, ti_ref)
+        tprev[...] = tn
+        t_ref[0, 0] = tn
+
+
+def _bwd_kernel_ht(s_ref, y_ref, ub_ref, hr_ref, hi_ref, tr_ref, ti_ref,
+                   x_ref, xnext, ypad, *, ts, m, halo):
+    j = pl.program_id(1)
+    line = m - 1 - j
+
+    @pl.when(j == 0)
+    def _():
+        xnext[...] = jnp.zeros_like(xnext)
+        ypad[...] = jnp.zeros_like(ypad)
+
+    r = xnext.shape[0] // 2
+    accr, acci = _band_apply_multi(ub_ref[0, 0], xnext[...])
+    y = y_ref[0, 0]
+    w = jnp.concatenate([y[:r] - accr, y[r:] - acci], axis=0)
+
+    @pl.when(line < ts)
+    def _():
+        xn = _ht_head_pivot(w, ypad, hr_ref, hi_ref, halo)
+        xnext[...] = xn
+        x_ref[0, 0] = xn
+
+    @pl.when(line >= ts)
+    def _():
+        xn = _ht_tail_pivot(w, tr_ref, ti_ref)
+        xnext[...] = xn
+        x_ref[0, 0] = xn
+
+
+@functools.partial(jax.jit, static_argnames=("start", "interpret"))
+def _fwd_ht(fac: PallasFactorizationBandedTail, s_idx, b4, t_init,
+            start: int = 0, interpret: bool | None = None):
+    """Hybrid batched multi-RHS forward substitution with carry cache:
+    b4 (S, m, 2r, np) f32, ``t_init`` (S, 2r, np).  Returns (y4, t4) over
+    lines ``start..m-1``."""
+    interpret = _resolve_interpret(interpret)
+    S, r2 = b4.shape[0], b4.shape[2]
+    m, npad = fac.m, fac.np_
+    ts, halo = fac.tail_start, fac.halo
+    nb, W = fac.head_re.shape[2], fac.head_re.shape[3]
+    tl = m - ts
+    m_eff = m - start
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(S, m_eff),
+        in_specs=[
+            pl.BlockSpec((1, 1, r2, npad), lambda i, j, s: (i, start + j, 0, 0)),
+            pl.BlockSpec((1, 1, 2, 3, npad),
+                         lambda i, j, s: (s[i], start + j, 0, 0, 0)),
+            # clamped into each segment: the pipeline elides the HBM fetch
+            # whenever the mapped block is unchanged from the previous step,
+            # so only the active representation streams
+            pl.BlockSpec((1, 1, nb, W, 128),
+                         lambda i, j, s: (s[i], jnp.minimum(start + j, ts - 1),
+                                          0, 0, 0)),
+            pl.BlockSpec((1, 1, nb, W, 128),
+                         lambda i, j, s: (s[i], jnp.minimum(start + j, ts - 1),
+                                          0, 0, 0)),
+            pl.BlockSpec((1, 1, npad, npad),
+                         lambda i, j, s: (s[i],
+                                          jnp.clip(start + j - ts, 0, tl - 1),
+                                          0, 0)),
+            pl.BlockSpec((1, 1, npad, npad),
+                         lambda i, j, s: (s[i],
+                                          jnp.clip(start + j - ts, 0, tl - 1),
+                                          0, 0)),
+            pl.BlockSpec((1, r2, npad), lambda i, j, s: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, r2, npad), lambda i, j, s: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, r2, npad), lambda i, j, s: (i, j, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((r2, npad), jnp.float32),
+            pltpu.VMEM((r2, npad + 2 * halo), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_fwd_kernel_ht, ts=ts, start=start, halo=halo)
+    return pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((S, m_eff, r2, npad), jnp.float32),
+            jax.ShapeDtypeStruct((S, m_eff, r2, npad), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(s_idx, b4, fac.lband, fac.head_re, fac.head_im, fac.tail_re,
+      fac.tail_im, t_init)
+
+
+@functools.partial(jax.jit, static_argnames=("tail", "interpret"))
+def _bwd_ht(fac: PallasFactorizationBandedTail, s_idx, y4, tail: int = 0,
+            interpret: bool | None = None):
+    """Hybrid batched backward substitution over the FULL (S, m, 2r, np)
+    y stack; ``tail > 0`` materializes only the last ``tail`` lines."""
+    interpret = _resolve_interpret(interpret)
+    S, r2 = y4.shape[0], y4.shape[2]
+    m, npad = fac.m, fac.np_
+    ts, halo = fac.tail_start, fac.halo
+    nb, W = fac.head_re.shape[2], fac.head_re.shape[3]
+    tl = m - ts
+    m_eff = m if tail <= 0 or tail >= m else tail
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(S, m_eff),
+        in_specs=[
+            pl.BlockSpec((1, 1, r2, npad), lambda i, j, s: (i, m - 1 - j, 0, 0)),
+            pl.BlockSpec((1, 1, 2, 3, npad),
+                         lambda i, j, s: (s[i], m - 1 - j, 0, 0, 0)),
+            pl.BlockSpec((1, 1, nb, W, 128),
+                         lambda i, j, s: (s[i], jnp.minimum(m - 1 - j, ts - 1),
+                                          0, 0, 0)),
+            pl.BlockSpec((1, 1, nb, W, 128),
+                         lambda i, j, s: (s[i], jnp.minimum(m - 1 - j, ts - 1),
+                                          0, 0, 0)),
+            pl.BlockSpec((1, 1, npad, npad),
+                         lambda i, j, s: (s[i],
+                                          jnp.clip(m - 1 - j - ts, 0, tl - 1),
+                                          0, 0)),
+            pl.BlockSpec((1, 1, npad, npad),
+                         lambda i, j, s: (s[i],
+                                          jnp.clip(m - 1 - j - ts, 0, tl - 1),
+                                          0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, r2, npad),
+                         lambda i, j, s: (i, m_eff - 1 - j, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((r2, npad), jnp.float32),
+            pltpu.VMEM((r2, npad + 2 * halo), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_bwd_kernel_ht, ts=ts, m=m, halo=halo)
+    (x4,) = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((S, m_eff, r2, npad), jnp.float32)],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(s_idx, y4, fac.uband, fac.head_re, fac.head_im, fac.tail_re,
+      fac.tail_im)
+    return x4
+
+
+def _ht_fwd_full(fac, s, b4, t_init, start, interpret):
+    """Forward pass with zero-padding of skipped head lines."""
+    y4, t4 = _fwd_ht(fac, s, b4, t_init, start=start, interpret=interpret)
+    if start > 0:
+        pad = jnp.zeros((b4.shape[0], start) + y4.shape[2:], jnp.float32)
+        y4 = jnp.concatenate([pad, y4], axis=1)
+    return y4, t4
+
+
+def _ht_solve_all(fac: PallasFactorizationBandedTail, s_idx, b, start=0,
+                  tail=0, interpret=None):
+    s = jnp.asarray(s_idx, jnp.int32).reshape(-1)
+    dtype = b.dtype
+    m = fac.m
+    b4 = _to_rows_b(fac, b)
+    S, r2 = b4.shape[0], b4.shape[2]
+    if start >= m or start < 0:
+        start = 0
+    t0 = jnp.zeros((S, r2, fac.np_), jnp.float32)
+    y4, _ = _ht_fwd_full(fac, s, b4, t0, start, interpret)
+    x4 = _bwd_ht(fac, s, y4, tail=tail, interpret=interpret)
+    off = 0 if (tail <= 0 or tail >= m) else m - tail
+    return _from_rows_b(x4, fac.n, dtype, m, off).reshape(b.shape)
+
+
+def _ht_solve_cached(fac: PallasFactorizationBandedTail, s_idx, b, tail=0,
+                     interpret=None):
+    s = jnp.asarray(s_idx, jnp.int32).reshape(1)
+    dtype = b.dtype
+    b4 = _to_rows_b(fac, b[None])
+    r2 = b4.shape[2]
+    t0 = jnp.zeros((1, r2, fac.np_), jnp.float32)
+    y4, t4 = _fwd_ht(fac, s, b4, t0, interpret=interpret)
+    x4 = _bwd_ht(fac, s, y4, tail=tail, interpret=interpret)
+    off = 0 if (tail <= 0 or tail >= fac.m) else fac.m - tail
+    x = _from_rows_b(x4, fac.n, dtype, fac.m, off)[0].reshape(b.shape)
+    return x, y4[0], t4[0]
+
+
+def _ht_solve_resume(fac: PallasFactorizationBandedTail, s_idx, b, y_cached,
+                     t_cached, resume, interpret=None):
+    m = fac.m
+    s = jnp.asarray(s_idx, jnp.int32).reshape(1)
+    dtype = b.dtype
+    b4 = _to_rows_b(fac, b[None])
+    if resume <= 0 or resume >= m:
+        r2 = b4.shape[2]
+        t0 = jnp.zeros((1, r2, fac.np_), jnp.float32)
+        y4, _ = _fwd_ht(fac, s, b4, t0, interpret=interpret)
+    else:
+        j0 = m - resume
+        y_new, _ = _fwd_ht(fac, s, b4, t_cached[None, j0 - 1], start=j0,
+                           interpret=interpret)
+        y4 = jnp.concatenate([y_cached[None, :j0], y_new], axis=1)
+    x4 = _bwd_ht(fac, s, y4, interpret=interpret)
+    return _from_rows_b(x4, fac.n, dtype, m)[0].reshape(b.shape)

@@ -252,3 +252,173 @@ def test_gs_sweep_pallas_dispatch():
     u_ref = gs_sweep(slabs, b)
     u_pl = gs_sweep(slabs_pl, b)
     assert _relerr(u_pl, u_ref) < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Fused banded+tail hybrid kernels
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def setup_ht(setup):
+    """Hybrid layouts built from the same factorizations as ``setup``:
+    a full-width one (agrees with dense bf16 up to rounding) and a banded
+    one paired with its XLA ``banded_tail`` oracle."""
+    from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
+        compress_factorization_banded_tail,
+    )
+
+    rng = np.random.default_rng(3)
+    vals = rng.standard_normal((2, M, N, 3, 3)) + 1j * rng.standard_normal(
+        (2, M, N, 3, 3)
+    )
+    vals = vals.astype(np.complex64)
+    vals[:, :, :, 1, 1] += 12.0
+    facs = jax.vmap(lambda v: factor_stencil_2d(StencilMatrix2D(values=v)))(
+        jnp.asarray(vals)
+    )
+    tail_lines = 4
+    pfac_full = pt.build_pallas_banded_tail(
+        facs, width=2 * N - 1, tail_lines=tail_lines
+    )
+    width = 15
+    pfac_band = pt.build_pallas_banded_tail(
+        facs, width=width, tail_lines=tail_lines
+    )
+    fac_ht = jax.vmap(
+        lambda f: compress_factorization_banded_tail(f, width, tail_lines)
+    )(facs)
+    return pfac_full, pfac_band, fac_ht
+
+
+def test_ht_layout_geometry(setup_ht):
+    pfac_full, pfac_band, fac_ht = setup_ht
+    assert pfac_band.tail_start == M - 4
+    assert pfac_band.head_re.dtype == jnp.bfloat16
+    # pack shape: (S, ts, nb, 128 + 2*halo, 128)
+    nb = pfac_band.np_ // 128
+    W = 128 + 2 * pfac_band.halo
+    assert pfac_band.head_re.shape == (2, M - 4, nb, W, 128)
+
+
+def test_ht_byte_savings_at_scale():
+    """At production-like line lengths the windowed head pack streams well
+    under the dense-plane bytes (at toy N the fixed 128-lane window floor
+    dominates and there is no saving — this is the shape claim the 801
+    headline relies on)."""
+    n, w = 801, 201
+    npad = 896
+    half = w // 2
+    halo = -(-half // 8) * 8
+    W = 128 + 2 * halo
+    head_bytes = (npad // 128) * W * 128
+    dense_bytes = npad * npad
+    assert W < npad
+    assert head_bytes / dense_bytes < 0.45
+
+
+def test_ht_full_width_matches_bf16(setup, setup_ht):
+    """Full-width hybrid == dense bf16 solve (same storage precision)."""
+    fac_bf, pfac, b = setup
+    pfac_full, _, _ = setup_ht
+    for s in (0, 1):
+        ref = pt.solve(pfac, s, b)
+        got = pt.solve(pfac_full, s, b)
+        assert _relerr(got, ref) < 5e-4
+
+
+def test_ht_banded_matches_xla_banded_tail(setup, setup_ht):
+    """Narrow-band hybrid kernel == the XLA ``banded_tail`` substitution
+    path at the same (width, tail): identical bf16-stored operators."""
+    _, _, b = setup
+    _, pfac_band, fac_ht = setup_ht
+    for s in (0, 1):
+        ref = block_thomas_solve(_fac_at(fac_ht, s), b)
+        got = pt.solve(pfac_band, s, b)
+        assert _relerr(got, ref) < 5e-4
+
+
+def test_ht_tail_cached_resume(setup, setup_ht):
+    _, _, b = setup
+    _, pfac_band, fac_ht = setup_ht
+    ref = block_thomas_solve_tail(_fac_at(fac_ht, 0), b, 3)
+    got = pt.solve(pfac_band, 0, b, tail=3)
+    assert _relerr(got, ref) < 5e-4
+
+    x_ref, y_ref, t_ref = block_thomas_solve_cached(_fac_at(fac_ht, 0), b, 3)
+    x_pl, y_pl, t_pl = pt.solve_cached(pfac_band, 0, b, tail=3)
+    assert _relerr(x_pl, x_ref) < 5e-4
+    b2 = b.at[M - 3 :].add(1.0 + 0.5j)
+    r_ref = block_thomas_solve_resume(_fac_at(fac_ht, 0), b2, y_ref, t_ref, 4)
+    r_pl = pt.solve_resume(pfac_band, 0, b2, y_pl, t_pl, 4)
+    assert _relerr(r_pl, r_ref) < 5e-4
+
+
+def test_ht_support_and_solve_all(setup, setup_ht):
+    _, _, b = setup
+    _, pfac_band, fac_ht = setup_ht
+    bs = jnp.zeros_like(b).at[5:].set(b[5:])
+    ref = block_thomas_solve_support(_fac_at(fac_ht, 0), bs, start=5, tail=4)
+    got = pt.solve_support(pfac_band, 0, bs, start=5, tail=4)
+    assert _relerr(got, ref) < 5e-4
+
+    rng = np.random.default_rng(7)
+    bb = (
+        rng.standard_normal((2, M, N, 3)) + 1j * rng.standard_normal((2, M, N, 3))
+    ).astype(np.complex64)
+    bb = jnp.asarray(bb)
+    got2 = pt.solve_all(pfac_band, jnp.arange(2), bb)
+    ref2 = jax.vmap(block_thomas_solve)(fac_ht, bb)
+    assert _relerr(got2, ref2) < 5e-4
+    # slab permutation through the scalar-prefetch indirection
+    perm = jnp.asarray([1, 0])
+    got3 = pt.solve_all(pfac_band, perm, bb[perm, ..., 0])
+    ref3 = jax.vmap(block_thomas_solve)(fac_ht, bb[..., 0])[perm]
+    assert _relerr(got3, ref3) < 5e-4
+
+
+def test_gs_sweep_pallas_banded_tail_dispatch():
+    """pivot_dtype='pallas_banded_tail' slab systems sweep-match the XLA
+    banded_tail storage at the same width, and hold GMRES quality."""
+    from fast_solver_lippmann_schwinger_tpu.core.grids import Grid2D
+    from fast_solver_lippmann_schwinger_tpu.ddm.subdomain import (
+        build_slab_system,
+    )
+    from fast_solver_lippmann_schwinger_tpu.ddm.sweeps import gs_sweep
+    from fast_solver_lippmann_schwinger_tpu.models import media
+    from fast_solver_lippmann_schwinger_tpu.solver.gmres import gmres
+    from fast_solver_lippmann_schwinger_tpu.sparse import stencils
+
+    h = 1.0 / 40.0
+    grid = Grid2D(a=1.0, h=h)
+    k = 1.0 / h
+    X, Y = grid.mesh()
+    nu = media.gaussian_bump_2d(X, Y)
+    a_st, ag_st, a_np, ag_np = stencils.build_sparse_a_ag_2d(
+        k, grid.x, grid.y, h, dtype=jnp.complex64, return_host=True
+    )
+    msp = stencils.build_msp_2d(a_st, ag_st, nu, k)
+    kw = dict(a_host=a_np, ag_host=ag_np, npml=5)
+    slabs_x = build_slab_system(
+        a_st, ag_st, nu, grid.x, grid.y, h, k, 3,
+        pivot_dtype="banded_tail", pivot_band=21, **kw
+    )
+    slabs_p = build_slab_system(
+        a_st, ag_st, nu, grid.x, grid.y, h, k, 3,
+        pivot_dtype="pallas_banded_tail", pivot_band=21, **kw
+    )
+    assert hasattr(slabs_p.pfac, "head_re")
+    rng = np.random.default_rng(5)
+    b = jnp.asarray(
+        (rng.standard_normal(grid.size) + 1j * rng.standard_normal(grid.size))
+        .astype(np.complex64)
+    )
+    u_ref = gs_sweep(slabs_x, b)
+    u_pl = gs_sweep(slabs_p, b)
+    assert _relerr(u_pl, u_ref) < 1e-3
+
+    x, info = gmres(
+        msp.matvec, b, preconditioner=lambda v: gs_sweep(slabs_p, v),
+        rtol=1e-5, restart=20, maxiter=120,
+    )
+    assert bool(info.converged)
