@@ -26,8 +26,8 @@ from flax import struct
 
 from fast_solver_lippmann_schwinger_tpu.ddm.subdomain3d import (
     SlabSystem3D,
-    _fac_at,
     _plane_stencil_matvec,
+    _slab_fac,
     gather_interior_3d,
     partition_source_3d,
     slab_solve_3d,
@@ -195,7 +195,7 @@ def _block_apply_single(slabs, xs, v0, v1, vN, vNp, start=0, tail=0):
         jnp.where(xs["has_bot"], -_cpl_multi(xs["cpl_n_np"], vNp, m, n), zero)
     )
     u = slab_solve_3d(
-        slabs, _fac_at(slabs.fac, xs["idx"]), rhs, start=start, tail=tail
+        slabs, _slab_fac(slabs, xs["idx"]), rhs, start=start, tail=tail
     )
     return u[xs["l0"]], u[xs["l1"]], u[xs["ln"]], u[xs["lnp"]]
 

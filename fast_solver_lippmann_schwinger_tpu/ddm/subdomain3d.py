@@ -109,6 +109,10 @@ class SlabSystem3D:
     pivot_layout: str = struct.field(pytree_node=False, default="z")
     # first plane carrying a top trace (static; 0 = no head skip)
     trace_head: int = struct.field(pytree_node=False, default=0)
+    # optional Pallas plane stack (sparse/pallas_plane.py): plane pivots
+    # stream HBM->VMEM via scalar-prefetch (slab, plane) indexing instead of
+    # per-step gather copies of the multi-GB stacks
+    pfac: object = None
 
 
 def build_slab_system_3d(
@@ -136,7 +140,14 @@ def build_slab_system_3d(
     them, and the ``yblock`` layouts factor each slab over y-planes instead
     — (l1 n)^2 pivot blocks, i.e. l1/m of the memory, EXACT solves — which
     is what makes >=96^3 feasible on one chip (banded in-plane truncation
-    was measured and rejected: no in-plane absorption, no decay)."""
+    was measured and rejected: no in-plane absorption, no decay).
+
+    A ``_pallas`` suffix (``bf16_pallas``, ``yblock_bf16_pallas``,
+    ``yblock_int8_pallas``) stores the same pivots in the Pallas plane-stack
+    layout (``sparse/pallas_plane.py``): the sweeps' plane solves then
+    stream each pivot plane HBM->VMEM via scalar-prefetch (slab, plane)
+    indexing instead of paying per-step gather copies of the multi-GB
+    stacks (the overhead that cost 2D ~2.1x before its fused kernels)."""
     if npml < 5:
         # see build_slab_system: the cutoff knots need >= 5 absorbing planes
         raise ValueError(f"npml must be >= 5 for ordered cutoff knots, got {npml}")
@@ -255,11 +266,15 @@ def build_slab_system_3d(
     cpl_np_n = plane_coupling(plnp, 0)
 
     h_dev = to_device_complex(h_sten, dtype)
-    layout = "y" if pivot_dtype.startswith("yblock") else "z"
+    use_pallas = pivot_dtype.endswith("_pallas")
+    base_pd = pivot_dtype[: -len("_pallas")] if use_pallas else pivot_dtype
+    layout = "y" if base_pd.startswith("yblock") else "z"
     storage = (
-        "bf16" if pivot_dtype in ("bf16", "yblock_bf16")
-        else "int8" if pivot_dtype == "yblock_int8" else "full"
+        "bf16" if base_pd in ("bf16", "yblock_bf16")
+        else "int8" if base_pd in ("int8", "yblock_int8") else "full"
     )
+    if use_pallas and storage == "full":
+        storage = "bf16"   # the Pallas stack stores compressed pivots
 
     def _factor(v):
         if layout == "y":
@@ -273,9 +288,26 @@ def build_slab_system_3d(
             pivot_band=pivot_band,
         )
 
+    def _factor_all(v):
+        fac_x = jax.lax.map(_factor, v)
+        if not use_pallas:
+            return fac_x, None
+        # convert to the plane-stack layout INSIDE the same program: the
+        # pads are no-ops at lane-multiple plane sizes, so XLA aliases the
+        # compressed stack rather than doubling the 3D memory wall
+        from fast_solver_lippmann_schwinger_tpu.sparse import pallas_plane
+
+        pfac = pallas_plane.build_plane_stack(fac_x)
+        fac_ph = BlockTridiagFactorization3D(
+            cinv=jnp.zeros(fac_x.lsten.shape[:2] + (0, 0), dtype=v.dtype),
+            lsten=fac_x.lsten, usten=fac_x.usten,
+        )
+        return fac_ph, pfac
+
     # checkpoint/resume: same scheme as the 2D builder (eval_shape template,
     # save only where host fetches are cheap)
-    fac = None
+    fac = pfac = None
+    loaded = None
     cache_path = None
     if cache_dir is not None:
         import hashlib
@@ -293,20 +325,20 @@ def build_slab_system_3d(
             dtype=str(dtype),
         )
         cache_path = os.path.join(cache_dir, f"slabfac3d_{key}.npz")
-        template = jax.eval_shape(
-            lambda v: jax.lax.map(_factor, v), h_dev
-        )
-        fac = checkpoint.load_arrays(cache_path, like=template)
-    if fac is None:
+        template = jax.eval_shape(_factor_all, h_dev)
+        loaded = checkpoint.load_arrays(cache_path, like=template)
+        if loaded is not None:
+            fac, pfac = loaded
+    if loaded is None:
         # slabs factor SEQUENTIALLY (lax.map, not vmap): each plane
         # inversion already fills the MXU, and vmap would multiply the
         # full-precision (l1 n)^2 factorization temporaries by S — at 96^3
         # that is the difference between fitting and OOM
-        fac = jax.jit(lambda v: jax.lax.map(_factor, v))(h_dev)
+        fac, pfac = jax.jit(_factor_all)(h_dev)
         if cache_path is not None and jax.default_backend() == "cpu":
             from fast_solver_lippmann_schwinger_tpu.utils import checkpoint
 
-            checkpoint.save_arrays(cache_path, fac)
+            checkpoint.save_arrays(cache_path, (fac, pfac))
 
     return SlabSystem3D(
         fac=fac,
@@ -333,6 +365,7 @@ def build_slab_system_3d(
                     if (pln >= 0).any() else 0),
         pivot_layout=layout,
         trace_head=(int(pl0[pl0 >= 0].min()) if (pl0 >= 0).any() else 0),
+        pfac=pfac,
     )
 
 
@@ -383,6 +416,24 @@ def _fac_at(fac, i):
     return jax.tree_util.tree_map(lambda a: a[i], fac)
 
 
+def _slab_fac(slabs: SlabSystem3D, i):
+    """Slab ``i``'s factorization for the local solves: a Pallas plane view
+    (pivots stay in the shared stack, indexed by base offset — no per-slab
+    gather of the pivot stack) or a plain tree_map slice of the XLA fac."""
+    if slabs.pfac is not None:
+        from fast_solver_lippmann_schwinger_tpu.sparse.pallas_plane import (
+            PlaneSlabView,
+        )
+
+        return PlaneSlabView(
+            stack=slabs.pfac,
+            lsten=slabs.fac.lsten[i],
+            usten=slabs.fac.usten[i],
+            base=jnp.asarray(i, jnp.int32) * slabs.pfac.l1,
+        )
+    return _fac_at(slabs.fac, i)
+
+
 def _slab_xs(slabs: SlabSystem3D):
     # loop-invariant factorization stacks are indexed inside the bodies,
     # not threaded through scan xs (multi-GB at production sizes)
@@ -430,7 +481,7 @@ def gs_sweep_3d(slabs: SlabSystem3D, b: jnp.ndarray) -> jnp.ndarray:
         # down solves only consume bottom traces (truncated backward pass);
         # cache the forward stacks for the up solve's resume path
         v, y_c, t_c = block_thomas_solve_cached_3d(
-            _fac_at(slabs.fac, xs["idx"]), rhs, slabs.trace_tail
+            _slab_fac(slabs, xs["idx"]), rhs, slabs.trace_tail
         )
         v = v.reshape((slabs.l1_max, mn) + extra)
         return (v[xs["ln"]], v[xs["lnp"]]), (rhs, v[xs["lnp"]], y_c, t_c)
@@ -452,7 +503,7 @@ def gs_sweep_3d(slabs: SlabSystem3D, b: jnp.ndarray) -> jnp.ndarray:
         rhs = rhs.at[xs["lnp"]].add(jnp.where(xs["has_bot"], addnp, zero))
         rhs = rhs.at[xs["ln"]].add(jnp.where(xs["has_bot"], addn, zero))
         u = block_thomas_solve_resume_3d(
-            _fac_at(slabs.fac, xs["idx"]), rhs, xs["y_c"], xs["t_c"],
+            _slab_fac(slabs, xs["idx"]), rhs, xs["y_c"], xs["t_c"],
             slabs.trace_tail,
         )
         u = u.reshape((slabs.l1_max, mn) + extra)
@@ -481,7 +532,7 @@ def _gs_sweep_3d_plain(slabs: SlabSystem3D, b: jnp.ndarray) -> jnp.ndarray:
         zero = jnp.zeros_like(add0)
         rhs = rhs.at[xs["l0"]].add(jnp.where(xs["has_top"], add0, zero))
         rhs = rhs.at[xs["l1"]].add(jnp.where(xs["has_top"], add1, zero))
-        v = slab_solve_3d(slabs, _fac_at(slabs.fac, xs["idx"]), rhs)
+        v = slab_solve_3d(slabs, _slab_fac(slabs, xs["idx"]), rhs)
         return (v[xs["ln"]], v[xs["lnp"]]), (rhs, v[xs["lnp"]])
 
     zeros_p = jnp.zeros(rhs0.shape[2:], dtype)
@@ -499,7 +550,7 @@ def _gs_sweep_3d_plain(slabs: SlabSystem3D, b: jnp.ndarray) -> jnp.ndarray:
         zero = jnp.zeros_like(addnp)
         rhs = rhs.at[xs["lnp"]].add(jnp.where(xs["has_bot"], addnp, zero))
         rhs = rhs.at[xs["ln"]].add(jnp.where(xs["has_bot"], addn, zero))
-        u = slab_solve_3d(slabs, _fac_at(slabs.fac, xs["idx"]), rhs)
+        u = slab_solve_3d(slabs, _slab_fac(slabs, xs["idx"]), rhs)
         u_0 = u[xs["l0"]]
         u_1 = u[xs["l1"]] - xs["u_np_above"]   # reflection correction
         return (u_0, u_1), u

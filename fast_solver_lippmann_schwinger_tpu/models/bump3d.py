@@ -86,7 +86,9 @@ def build_problem(
                 pc = SingleSweepPreconditioner3D(slabs=slabs, a_s=a_st)
         else:
             msp = stencils.build_msp_3d(a_st, ag_st, nu, k)
-            pc = SparsifyingPreconditioner3D.build(msp, a_st)
+            pc = SparsifyingPreconditioner3D.build(
+                msp, a_st, use_pallas=pivot_dtype.endswith("_pallas"),
+            )
     precond = pc
 
     u_inc = to_device_complex(np.exp(1j * k * X.ravel()), dtype)

@@ -78,11 +78,30 @@ class SparsifyingPreconditionerT:
 
 @struct.dataclass
 class SparsifyingPreconditioner3D:
-    factorization: BlockTridiagFactorization3D
+    factorization: object   # BlockTridiagFactorization3D | PlaneSlabView
     a_s: StencilMatrix3D
 
     @classmethod
-    def build(cls, msp: StencilMatrix3D, a_s: StencilMatrix3D):
+    def build(cls, msp: StencilMatrix3D, a_s: StencilMatrix3D,
+              use_pallas: bool = False):
+        """``use_pallas`` stores bf16 plane pivots in the Pallas stack
+        layout (``sparse/pallas_plane.py``): the substitution scans then
+        stream each (mn, mn) pivot plane from HBM exactly once instead of
+        gathering a per-step copy — same trade as the 2D fused kernels
+        (bf16 pivots perturb only the preconditioner)."""
+        if use_pallas:
+            from fast_solver_lippmann_schwinger_tpu.sparse import pallas_plane
+
+            @jax.jit
+            def _build(s):
+                fac = factor_stencil_3d(s, pivot_dtype="bf16")
+                stack = pallas_plane.build_plane_stack(fac, batched=False)
+                return pallas_plane.PlaneSlabView(
+                    stack=stack, lsten=fac.lsten, usten=fac.usten,
+                    base=jnp.zeros((), jnp.int32),
+                )
+
+            return cls(factorization=_build(msp), a_s=a_s)
         return cls(factorization=jax.jit(factor_stencil_3d)(msp), a_s=a_s)
 
     def apply(self, b: jnp.ndarray) -> jnp.ndarray:

@@ -812,8 +812,15 @@ def factor_stencil_3d(s: StencilMatrix3D, pivot_dtype: str = "full",
 
 def _pivot_apply_3d(fac, k, y):
     """Apply plane pivot inverse ``C_k^{-1}`` to ``y`` (mn[, r]) for any of
-    the three 3D storage formats (reuses the 2D dispatch, which keys on the
-    storage field names)."""
+    the three XLA 3D storage formats (reuses the 2D dispatch, which keys on
+    the storage field names) or the Pallas plane stack (streamed via
+    scalar-prefetch indexing — no gather copy of the plane)."""
+    if hasattr(fac, "stack"):
+        from fast_solver_lippmann_schwinger_tpu.sparse.pallas_plane import (
+            plane_apply,
+        )
+
+        return plane_apply(fac, k, y)
     return _pivot_apply(jax.tree_util.tree_map(lambda a: a[k], fac), y)
 
 
