@@ -291,7 +291,7 @@ def measure_e2e_batched(h=1.0 / 800.0, subs=16, platform=None, pivot="pallas",
     return dt, problem.grid.size, n_dirs
 
 
-def measure_e2e_3d(nn=48, precond="sparsifying", pivot="full", subs=4,
+def measure_e2e_3d(nn=48, precond="sparsifying", pivot="bf16_pallas", subs=4,
                    npml=5, platform=None, rtol=1e-6, restart=20, maxiter=16,
                    repeats=2, long_chain=3, cache_dir=None):
     """Chain-timed full 3D bump solve (reference ``examples/example3D.jl``
@@ -458,7 +458,7 @@ def main():
         out["ls3d_48_setup_s"] = round(setup_s, 1)
         if "--no-96" not in args:
             dt, npts, setup_s = measure_e2e_3d(
-                nn=96, precond="gs", pivot="yblock_int8", subs=6, npml=8,
+                nn=96, precond="gs", pivot="yblock_int8_pallas", subs=6, npml=8,
                 maxiter=12, long_chain=2, repeats=2,
             )
             out["ls3d_96_ms_per_solve"] = round(dt * 1e3, 1)
@@ -559,7 +559,7 @@ def main():
             print(f"[bench] 3d 48^3 failed: {exc}", file=sys.stderr)
         try:
             dt3, npts3, setup3 = measure_e2e_3d(
-                nn=96, precond="gs", pivot="yblock_int8", subs=6, npml=8,
+                nn=96, precond="gs", pivot="yblock_int8_pallas", subs=6, npml=8,
                 maxiter=12, long_chain=2,
             )
             extra_3d["ls3d_96_ms_per_solve"] = round(dt3 * 1e3, 1)

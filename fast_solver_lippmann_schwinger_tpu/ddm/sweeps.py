@@ -71,6 +71,16 @@ def gs_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
     sides cost barely more than one (see ``DoubleSweepPreconditioner
     .apply_batch`` and the dual-incident-direction benchmark).
     """
+    if (slabs.pfac is not None and hasattr(slabs.pfac, "head_re")
+            and 0 < slabs.trace_tail < slabs.m1_max):
+        # banded+tail hybrid layout: the whole sweep runs as TWO fused
+        # kernels (down, up) with in-kernel trace handoff — no per-slab
+        # launches or XLA glue (sparse/pallas_sweep.py)
+        from fast_solver_lippmann_schwinger_tpu.sparse.pallas_sweep import (
+            gs_sweep_fused,
+        )
+
+        return gs_sweep_fused(slabs, b)
     rhs0 = partition_source(slabs, b)      # (S, m1_max, n[, r])
     dtype = rhs0.dtype
 

@@ -246,6 +246,19 @@ def make_sharded_polarized_preconditioner(
         "(pivot_dtype full/bf16/banded/banded_tail), not the Pallas-only "
         "placeholder layout"
     )
+    # disjoint-trace-region requirement (see parallel/polarized3d.py):
+    # slabs shorter than ~2 npml collide l1 with ln and the block applies
+    # silently overwrite sources
+    import numpy as _np
+
+    _l1 = _np.asarray(slabs.l1)
+    _ln = _np.asarray(slabs.ln)
+    _both = _np.asarray(slabs.has_top) & _np.asarray(slabs.has_bot)
+    assert (~_both | (_ln > _l1)).all(), (
+        "degenerate slab geometry for polarized traces: top/bottom trace "
+        "lines overlap (slabs shorter than ~2*npml) — use fewer slabs or "
+        "a taller grid"
+    )
     k = S // D
     n = slabs.n
     specs = slab_sharding_specs(slabs, axis)

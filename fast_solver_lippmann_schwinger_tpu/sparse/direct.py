@@ -104,6 +104,13 @@ def default_band_width(n: int) -> int:
     (odd, floor 33) tracks both measured points; callers picking a fixed
     yesterday's width at a larger n silently lose preconditioner quality,
     so ``width=None`` everywhere routes here.
+
+    Measured caveat (round 5): the residual iteration gap vs full-bf16
+    pivots is set by SLAB HEIGHT, not width, beyond this rule — at 401^2
+    with ~116-line slabs the gap is +7 at any w in [101, 201] (recursion-
+    depth error amplification), while at production slab heights (~60-70
+    lines: 801/16 slabs, 401/8 slabs) banded_tail is within +3 or better.
+    Keep DDM slabs short rather than widening the band further.
     """
     return min(max(n // 4, 33) | 1, 2 * n - 1)
 
@@ -237,9 +244,11 @@ def compress_factorization_banded_tail(
     fac: BlockTridiagFactorization, width: int | None, tail_lines: int
 ) -> BlockTridiagFactorizationBandedTail:
     """Band the head lines, keep full bf16 planes for the last
-    ``tail_lines`` lines (``width=None`` -> :func:`default_band_width`)."""
+    ``tail_lines`` lines (``width=None`` -> :func:`default_band_width`).
+    ``tail_lines`` caps at m - 1 so the banded head segment is never empty
+    (an all-dense request should use ``compress_factorization`` instead)."""
     m = fac.cinv.shape[0]
-    tail_lines = int(min(max(tail_lines, 1), m))
+    tail_lines = int(min(max(tail_lines, 1), m - 1))
     ts = m - tail_lines
     banded = compress_factorization_banded(fac, width)
     tail = fac.cinv[ts:]

@@ -96,6 +96,40 @@ def test_banded_tail_solve_matches_bf16_class():
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
 
 
+def test_banded_tail_width_rule_at_scale():
+    """``pivot_band=None`` must pick the measured w(n) rule
+    (``default_band_width``: ~n/4, odd, floor 33) and hold iteration
+    quality at a production-like n — the failure mode this guards is a
+    user carrying a small-n width to a larger grid, where iterations blow
+    up silently (w=101 fine at n=201, need ~201 at n=801; RESULTS.md)."""
+    from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
+        default_band_width,
+    )
+
+    assert default_band_width(801) >= 201 - 2
+    assert default_band_width(201) <= 101
+    assert default_band_width(16) == 33 or default_band_width(16) == 31
+
+    # production-like slab height (~60 lines, matching the 801/16-slab
+    # bench geometry).  Measured 2026-08: bf16 = 22 iterations here,
+    # banded_tail(rule) = 16 — the hybrid actually converges FASTER (full
+    # bf16 stalls on complex64 GMRES plateaus at this config).  NOTE the
+    # measured caveat: at TALL slabs (4 subdomains at 401^2, ~116 lines)
+    # banded_tail pays +7 iterations over bf16 regardless of width — the
+    # loss is recursion-depth amplification, not band truncation.
+    problem = plasma2d.build_problem(
+        h=1.0 / 400.0, n_subdomains=8, npml=8, dtype=jnp.complex64,
+        pivot_dtype="banded_tail", pivot_band=None,
+    )
+    u, info = plasma2d.solve(problem, rtol=1e-5, restart=20, maxiter=40)
+    assert np.isfinite(fetch(u)).all()
+    its = int(fetch(info.n_iterations)[()])
+    assert bool(fetch(info.converged)[()]), (
+        f"banded_tail(width=None) at 401^2 failed to converge in {its}"
+    )
+    assert its <= 26, f"banded_tail width-rule quality at 401^2: {its} iters"
+
+
 def test_banded_lr_pivot_quality():
     """Band + low-rank correction must not regress beyond pure banding at
     a NARROWER band (that's its purpose: the rank term picks up the
