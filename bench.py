@@ -5,9 +5,11 @@ benchmark — the full 801x801, k=800 plasma scattering solve with the
 alternating bi-directional (double) sweep preconditioner
 (``tests/plasma_example.jl:160-182``: the solve wall-clock + iteration
 count IS the reference's measured quantity).  The solve runs on the
-fused-Pallas sweep path (``pivot_dtype="pallas"``) with a fixed GMRES
-budget (restart=20, maxiter=12, rtol=1e-6 — the config converges in ~6
-iterations; see RESULTS.md) and is chain-timed on device: data-dependent
+fused-Pallas sweep path (``pivot_dtype="pallas"``) with 2 fat slabs (the
+measured-optimal single-chip decomposition — 5/5 iterations at rtol=1e-6
+vs the reference 16-slab layout's 6/6, and ~25% fewer absorbing-overlap
+lines; RESULTS.md round 5) and a fixed GMRES budget (restart=20,
+maxiter=12, rtol=1e-6) and is chain-timed on device: data-dependent
 ``lax.scan`` chains of 1 and 3 full solves, fetch-synced, per-solve time =
 (t3 - t1) / 2.  The same methodology produced the round-2 624 ms record on
 the XLA bf16 path.
@@ -139,7 +141,7 @@ def measure_apply(h=1.0 / 800.0, dtype_name="complex64", iters=20,
     return grid.size / dt, dt, grid.size
 
 
-def measure_e2e(h=1.0 / 800.0, subs=16, platform=None, pivot="pallas",
+def measure_e2e(h=1.0 / 800.0, subs=2, platform=None, pivot="pallas",
                 restart=20, maxiter=12, rtol=1e-6, repeats=3):
     """Chain-timed full plasma solve; returns (seconds_per_solve, n_points).
 
@@ -211,7 +213,7 @@ def measure_e2e(h=1.0 / 800.0, subs=16, platform=None, pivot="pallas",
     return dt, problem.grid.size
 
 
-def measure_e2e_batched(h=1.0 / 800.0, subs=16, platform=None, pivot="pallas",
+def measure_e2e_batched(h=1.0 / 800.0, subs=2, platform=None, pivot="pallas",
                         n_dirs=2, restart=20, maxiter=12, rtol=1e-6,
                         repeats=3):
     """Chain-timed JOINT batched solve of ``n_dirs`` incident directions
@@ -365,7 +367,7 @@ def measure_e2e_3d(nn=48, precond="sparsifying", pivot="bf16_pallas", subs=4,
     return dt, problem.grid.size, setup_s
 
 
-def measure_cpu_e2e(h=1.0 / 800.0, subs=16):
+def measure_cpu_e2e(h=1.0 / 800.0, subs=2):
     """One warm full solve on the host CPU (complex64, full pivots, same
     GMRES budget as the TPU measurement); returns (seconds, n_points)."""
     _setup_jax("cpu")
@@ -393,7 +395,7 @@ def measure_cpu_e2e(h=1.0 / 800.0, subs=16):
     return time.perf_counter() - t0, problem.grid.size
 
 
-def measure_e2e_iters(h=1.0 / 800.0, subs=16, platform=None, pivot="pallas",
+def measure_e2e_iters(h=1.0 / 800.0, subs=2, platform=None, pivot="pallas",
                       rtol=1e-6):
     """One real solve per incident direction: iteration counts (the
     reference's oracle, ``countnz(resnorm)``)."""
@@ -430,7 +432,7 @@ def main():
         dt, npts = measure_cpu_e2e()
         payload = {
             "e2e_seconds_per_solve": dt,
-            "config": "801x801 k=800 plasma, 16 slabs, double sweep, "
+            "config": "801x801 k=800 plasma, 2 slabs, double sweep, "
                       "complex64, full pivots, budget restart=20 maxiter=12",
             "host": os.uname().nodename,
             "measured": time.strftime("%Y-%m-%d"),

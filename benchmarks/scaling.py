@@ -92,8 +92,8 @@ def measure_virtual_mesh(h, subs, n_rhs, repeats=3):
     return rows
 
 
-def roofline(n=801, m1=91, S=16, n_rhs=8, pivot_bytes=2 * 2,
-             hbm_bw=1.2e12, ici_bw=9e10, mxu_flops=2e14,
+def roofline(n=801, m1=70, S=16, n_rhs=8, pivot_bytes=2 * 2,
+             hbm_bw=8.5e11, ici_bw=9e10, mxu_flops=2e14,
              latency_per_round=2e-6):
     """Analytic strong-scaling model of the pipelined double sweep.
 
@@ -108,6 +108,13 @@ def roofline(n=801, m1=91, S=16, n_rhs=8, pivot_bytes=2 * 2,
     Pipeline: 2 (D + R - 1) rounds of k = S/D local solves per direction.
     Useful work = R solves of S slabs; efficiency(D) =
     T(1) / (D * T(D)).  Returns {D: (t_seconds, efficiency)}.
+
+    ``hbm_bw`` defaults to the MEASURED effective sweep-stream rate on the
+    v5e-class chip, re-validated round 5 after the fused kernels landed:
+    dense-bf16 double-sweep apply 27.6 ms at 17.7 GB streamed (2.46
+    full-stack passes x 2 directions at S=16, m1~70, npad=896) minus the
+    ~7 ms dispatch/glue floor -> 851 GB/s.  The hybrid banded+tail layout
+    streams 0.56x those bytes (fused apply 18.6 ms) at the same rate.
     """
     bytes_per_solve = m1 * n * n * pivot_bytes      # one substitution pass
     t_solve = 1.5 * bytes_per_solve / hbm_bw        # down + tail-resume up
@@ -141,8 +148,8 @@ def roofline(n=801, m1=91, S=16, n_rhs=8, pivot_bytes=2 * 2,
     return out
 
 
-def roofline_blocked(n=801, m1=91, S=16, n_rhs=64, blocks=(1, 2, 4, 8, 16),
-                     pivot_bytes=2 * 2, hbm_bw=1.2e12, ici_bw=9e10,
+def roofline_blocked(n=801, m1=70, S=16, n_rhs=64, blocks=(1, 2, 4, 8, 16),
+                     pivot_bytes=2 * 2, hbm_bw=8.5e11, ici_bw=9e10,
                      mxu_flops=2e14, latency_per_round=2e-6):
     """Blocked-schedule model (``rhs_block=B``): a B-wide local solve
     streams the pivot stack ONCE (measured: 2-RHS apply == 1-RHS apply at
@@ -185,9 +192,11 @@ def main():
     args = ap.parse_args()
     if not args.skip_mesh:
         measure_virtual_mesh(args.h, args.subs, args.rhs)
-    # headline 801x801 config and the reference's own 16-slab layout
-    roofline(n=801, m1=91, S=16, n_rhs=args.rhs)
-    roofline_blocked(n=801, m1=91, S=16, n_rhs=args.sources)
+    # the reference's 16-slab layout (multi-chip distribution geometry) and
+    # the round-5 single-chip headline layout (4 fat slabs)
+    roofline(n=801, m1=70, S=16, n_rhs=args.rhs)
+    roofline(n=801, m1=220, S=4, n_rhs=args.rhs)
+    roofline_blocked(n=801, m1=70, S=16, n_rhs=args.sources)
 
 
 if __name__ == "__main__":

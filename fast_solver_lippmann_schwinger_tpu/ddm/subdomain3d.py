@@ -130,6 +130,7 @@ def build_slab_system_3d(
     pivot_dtype: str = "full",
     pivot_band: int | None = None,
     cache_dir: str | None = None,
+    fac_provider=None,
 ) -> SlabSystem3D:
     """Construct and factor all z-slabs (3D analog of ``build_slab_system``).
 
@@ -147,7 +148,14 @@ def build_slab_system_3d(
     layout (``sparse/pallas_plane.py``): the sweeps' plane solves then
     stream each pivot plane HBM->VMEM via scalar-prefetch (slab, plane)
     indexing instead of paying per-step gather copies of the multi-GB
-    stacks (the overhead that cost 2D ~2.1x before its fused kernels)."""
+    stacks (the overhead that cost 2D ~2.1x before its fused kernels).
+
+    ``fac_provider(h_sten, dtype, factor_one)``, when given, supplies the
+    batched ``(fac, pfac)`` instead of the in-process factorization —
+    ``factor_one`` is the per-slab factoring function for the requested
+    pivot mode.  Used by the beyond-HBM capacity path, which factors slabs
+    one at a time on an accelerator and assembles the (larger-than-one-
+    device) stacks on the host/CPU mesh."""
     if npml < 5:
         # see build_slab_system: the cutoff knots need >= 5 absorbing planes
         raise ValueError(f"npml must be >= 5 for ordered cutoff knots, got {npml}")
@@ -329,6 +337,9 @@ def build_slab_system_3d(
         loaded = checkpoint.load_arrays(cache_path, like=template)
         if loaded is not None:
             fac, pfac = loaded
+    if loaded is None and fac_provider is not None:
+        fac, pfac = fac_provider(h_sten, dtype, _factor)
+        loaded = (fac, pfac)
     if loaded is None:
         # slabs factor SEQUENTIALLY (lax.map, not vmap): each plane
         # inversion already fills the MXU, and vmap would multiply the
