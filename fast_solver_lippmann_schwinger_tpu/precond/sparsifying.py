@@ -42,6 +42,12 @@ class SparsifyingPreconditioner:
     def apply(self, b: jnp.ndarray) -> jnp.ndarray:
         return block_thomas_solve(self.factorization, self.a_s.matvec(b))
 
+    def apply_batch(self, b_batch: jnp.ndarray) -> jnp.ndarray:
+        """(R, m*n) joint batch apply (``gmres_batched`` convention): the
+        substitution scans stream each pivot plane once for all R sources
+        (the same HBM amortization as the sweep preconditioners)."""
+        return self.apply(b_batch.T).T
+
     def __call__(self, b: jnp.ndarray) -> jnp.ndarray:
         return self.apply(b)
 
@@ -106,6 +112,12 @@ class SparsifyingPreconditioner3D:
 
     def apply(self, b: jnp.ndarray) -> jnp.ndarray:
         return block_thomas_solve_3d(self.factorization, self.a_s.matvec(b))
+
+    def apply_batch(self, b_batch: jnp.ndarray) -> jnp.ndarray:
+        """(R, l*m*n) joint batch apply: one plane-pivot stream for the
+        whole multi-source batch (works on both the XLA and the Pallas
+        plane-stack storage)."""
+        return self.apply(b_batch.T).T
 
     def __call__(self, b: jnp.ndarray) -> jnp.ndarray:
         return self.apply(b)
