@@ -42,6 +42,7 @@ def build_problem(
     dtype=jnp.complex64,
     double_sweep: bool = True,
     pivot_dtype: str = "full",
+    pivot_dtype_t: str | None = None,
     pivot_band: int | None = None,
     pivot_rank: int | None = None,
     use_pallas: bool = False,
@@ -50,6 +51,13 @@ def build_problem(
     """``double_sweep=False`` uses the single-direction GS sweep composite
     (reference ``Preconditioner``/``GSPreconditioner`` family) — half the
     factorization memory, a few more GMRES iterations.
+
+    ``pivot_dtype_t`` sets a DIFFERENT pivot storage for the transposed
+    (x-direction) sweep, which only smooths the y-sweep's error term and
+    tolerates lower precision: y=pallas(bf16)/x=pallas_int8 measured 108.0
+    ms vs 113.7 ms at the 801/2-slab headline, at 6 vs 5 outer iterations
+    (RESULTS.md round 5) — a 25% x-sweep byte cut mostly eaten by the
+    extra iteration, kept opt-in for robustness.
 
     ``use_pallas=True`` attaches the fused-Pallas substitution layout
     (``sparse/pallas_thomas.py``) so the sweeps stream pivot planes
@@ -89,7 +97,9 @@ def build_problem(
             a_st.transpose(), ag_st.transpose(), nu.T,
             grid.y, grid.x, h, k, n_subdomains, npml=npml,
             a_host=a_np.transpose(1, 0, 3, 2),
-            ag_host=ag_np.transpose(1, 0, 3, 2), pivot_dtype=pivot_dtype,
+            ag_host=ag_np.transpose(1, 0, 3, 2),
+            pivot_dtype=(pivot_dtype_t if pivot_dtype_t is not None
+                         else pivot_dtype),
             pivot_band=pivot_band, pivot_rank=pivot_rank, cache_dir=cache_dir,
         )
         if use_pallas:
