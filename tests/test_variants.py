@@ -199,3 +199,21 @@ def test_prefer_pow2_is_an_explicit_knob():
         while x % p == 0:
             x //= p
     assert x == 1, f"{s5} is not 5-smooth"
+
+
+def test_double_sweep_mixed_pivot_t():
+    """pivot_dtype_t: a lower-precision transposed (x) sweep still
+    preconditions to convergence (measured 801-scale trade in RESULTS.md)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fast_solver_lippmann_schwinger_tpu.models import plasma2d
+    from fast_solver_lippmann_schwinger_tpu.utils.host import fetch
+
+    problem = plasma2d.build_problem(
+        h=1.0 / 100.0, n_subdomains=2, npml=8, dtype=jnp.complex64,
+        pivot_dtype="bf16", pivot_dtype_t="banded_tail",
+    )
+    u, info = plasma2d.solve(problem, rtol=1e-6, restart=20, maxiter=40)
+    assert np.isfinite(fetch(u)).all()
+    assert bool(fetch(info.converged)[()])
