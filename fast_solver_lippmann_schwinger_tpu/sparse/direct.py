@@ -847,7 +847,23 @@ def _as_plane_stack_3d(fac, b):
 
 def _fwd_scan_3d(fac, bg, start: int = 0, t_start=None, collect_t: bool = False):
     """3D forward substitution over z-planes ``start..l-1`` (see
-    :func:`_fwd_scan`); ``bg`` (l, mn[, r])."""
+    :func:`_fwd_scan`); ``bg`` (l, mn[, r]).
+
+    Pallas plane views run the whole slab in ONE fused kernel (carry in
+    VMEM, in-kernel stencil taps) instead of one ``pallas_call`` per plane
+    — the per-step dispatch overhead was ~2.7x the pivot byte bound at the
+    96^3 headline (RESULTS.md round 5)."""
+    if hasattr(fac, "stack"):
+        from fast_solver_lippmann_schwinger_tpu.sparse.pallas_plane import (
+            bwd_scan_fused,  # noqa: F401  (paired import for readability)
+            fused_vmem_ok,
+            fwd_scan_fused,
+        )
+
+        if fused_vmem_ok(fac.stack):
+            y, t = fwd_scan_fused(fac, bg, start=start, t_start=t_start,
+                                  collect_t=collect_t)
+            return (y, t) if collect_t else (y, None)
     l = fac.lsten.shape[0]
     m, n = fac.lsten.shape[1], fac.lsten.shape[2]
     dtype = fac.lsten.dtype
@@ -873,6 +889,14 @@ def _fwd_scan_3d(fac, bg, start: int = 0, t_start=None, collect_t: bool = False)
 def _bwd_scan_3d(fac, y, tail: int = 0):
     """3D backward substitution; ``tail > 0`` materializes only the last
     planes (see :func:`_bwd_scan`)."""
+    if hasattr(fac, "stack"):
+        from fast_solver_lippmann_schwinger_tpu.sparse.pallas_plane import (
+            bwd_scan_fused,
+            fused_vmem_ok,
+        )
+
+        if fused_vmem_ok(fac.stack):
+            return bwd_scan_fused(fac, y, tail=tail)
     l = fac.lsten.shape[0]
     m, n = fac.lsten.shape[1], fac.lsten.shape[2]
     dtype = fac.lsten.dtype

@@ -215,3 +215,339 @@ def plane_apply(view, k, y: jnp.ndarray) -> jnp.ndarray:
     z = _plane_apply_rows(stack, idx, rows)
     out = jax.lax.complex(z[:r, :mn].T, z[r:, :mn].T).astype(y.dtype)
     return out.reshape(y.shape)
+
+
+# ---------------------------------------------------------------------------
+# Fused whole-slab substitution kernels.
+#
+# The per-plane ``plane_apply`` above removes the gather copies but still
+# launches one ``pallas_call`` per plane-STEP inside the ``lax.scan``
+# substitution loops — measured ~37 us/step of dispatch overhead at the 96^3
+# headline (1152 steps/sweep-apply: 69.5 ms against a 26 ms pivot-byte
+# bound, RESULTS.md round 5).  Here ONE kernel walks a whole slab's forward
+# (or backward) substitution: grid = (planes,), carry plane held in VMEM
+# scratch, pivot planes streamed by scalar-prefetch flat index, and the
+# 9-point in-plane coupling stencil applied IN-KERNEL as 9 lane-rolled
+# multiply-adds against flat weight rows.
+#
+# The flat-shift trick: tap (dj, di) of an (a, b) plane is a flat offset
+# ``(dj-1)*b + (di-1)``; a lane roll wraps across plane-row boundaries, but
+# the weight rows are zeroed at PACK time wherever the target index is
+# invalid (row/plane edge or padding), so every wrapped read is multiplied
+# by an exact zero — no in-kernel masking.  This is the 2D fused-sweep
+# recipe (``pallas_sweep.py``) applied to the 3D plane solves; replaces the
+# per-plane dispatch the same way the 2D kernel replaced the per-line one.
+# ---------------------------------------------------------------------------
+
+
+def _pack_sten_rows(sten: jnp.ndarray, npad: int) -> jnp.ndarray:
+    """(P, a, b, 3, 3) complex in-plane coupling stencils -> (P, 2, 9, npad)
+    f32 flat weight rows, zeroed where tap targets fall outside the plane
+    (the correctness contract of the in-kernel flat-shift apply)."""
+    import numpy as np
+
+    P, a, b = sten.shape[0], sten.shape[1], sten.shape[2]
+    w = jnp.moveaxis(sten, (3, 4), (1, 2))          # (P, 3, 3, a, b)
+    jj = np.arange(a)[:, None]
+    ii = np.arange(b)[None, :]
+    masks = np.zeros((3, 3, a, b), bool)
+    for dj in range(3):
+        for di in range(3):
+            tj, ti = jj + dj - 1, ii + di - 1
+            masks[dj, di] = (tj >= 0) & (tj < a) & (ti >= 0) & (ti < b)
+    w = jnp.where(jnp.asarray(masks)[None], w, 0.0)
+    w = w.reshape(P, 9, a * b)
+    w = jnp.pad(w, [(0, 0), (0, 0), (0, npad - a * b)])
+    return jnp.stack(
+        [jnp.real(w), jnp.imag(w)], axis=1
+    ).astype(jnp.float32)                            # (P, 2, 9, npad)
+
+
+def _shift_flat(t, off: int):
+    """Lane f of the result holds ``t[f + off]`` (wrapped — callers zero the
+    invalid positions through the packed weight rows)."""
+    if off == 0:
+        return t
+    npad = t.shape[1]
+    return pltpu.roll(t, shift=(-off) % npad, axis=1)
+
+
+def _sten_apply_rows(w, t, n: int):
+    """9-tap in-plane stencil on stacked [re; im] rows: w (2, 9, np) f32
+    packed by :func:`_pack_sten_rows`, t (2r, np); returns (accr, acci)."""
+    r = t.shape[0] // 2
+    tr, ti = t[:r], t[r:]
+    accr = jnp.zeros_like(tr)
+    acci = jnp.zeros_like(ti)
+    d = 0
+    for dj in (-1, 0, 1):
+        for di in (-1, 0, 1):
+            off = dj * n + di
+            sr = _shift_flat(tr, off)
+            si = _shift_flat(ti, off)
+            wr = w[0, d][None, :]
+            wi = w[1, d][None, :]
+            accr = accr + wr * sr - wi * si
+            acci = acci + wr * si + wi * sr
+            d += 1
+    return accr, acci
+
+
+def _dot_plane(y, pre, pim, sc):
+    """[Yr; Yi] @ P with complex recombination and per-(input-block,
+    output-lane) dequant scales; y (2r, np) f32, pre/pim (np, np) storage
+    dtype, sc (2, nb, np) f32."""
+    nb = sc.shape[1]
+    r = y.shape[0] // 2
+    if nb == 1:
+        z1 = jnp.dot(y, pre.astype(jnp.float32),
+                     preferred_element_type=jnp.float32) * sc[0, 0][None, :]
+        z2 = jnp.dot(y, pim.astype(jnp.float32),
+                     preferred_element_type=jnp.float32) * sc[1, 0][None, :]
+    else:
+        z1 = jnp.zeros((y.shape[0], pre.shape[1]), jnp.float32)
+        z2 = jnp.zeros_like(z1)
+        for bk in range(nb):
+            sl = slice(bk * 128, (bk + 1) * 128)
+            yb = y[:, sl]
+            z1 = z1 + jnp.dot(
+                yb, pre[sl, :].astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ) * sc[0, bk][None, :]
+            z2 = z2 + jnp.dot(
+                yb, pim[sl, :].astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            ) * sc[1, bk][None, :]
+    return jnp.concatenate([z1[:r] - z2[r:], z1[r:] + z2[:r]], axis=0)
+
+
+def _carry_read(cref):
+    """(T, r2, tile) carry scratch -> (r2, T*tile) flat rows via static
+    leading-axis slices (no in-kernel transpose)."""
+    T = cref.shape[0]
+    if T == 1:
+        return cref[0]
+    return jnp.concatenate([cref[tk] for tk in range(T)], axis=1)
+
+
+def _fwd_slab_kernel(idx_ref, b_ref, w_ref, pre_ref, pim_ref, sc_ref, t0_ref,
+                     y_ref, t_ref, tprev, ysc, *, n, tile):
+    p = pl.program_id(0)
+    tix = pl.program_id(1)
+    T = tprev.shape[0]
+
+    @pl.when((p == 0) & (tix == 0))
+    def _():
+        t0 = t0_ref[...]
+        for tk in range(T):
+            tprev[tk] = t0[:, tk * tile : (tk + 1) * tile]
+
+    r = tprev.shape[1] // 2
+
+    @pl.when(tix == 0)
+    def _():
+        accr, acci = _sten_apply_rows(w_ref[0], _carry_read(tprev), n)
+        brow = b_ref[0]
+        y = jnp.concatenate([brow[:r] - accr, brow[r:] - acci], axis=0)
+        ysc[...] = y
+        y_ref[0] = y
+
+    tt = _dot_plane(ysc[...], pre_ref[0], pim_ref[0], sc_ref[0])
+    t_ref[0] = tt
+    tprev[pl.ds(tix, 1)] = tt[None]
+
+
+def _bwd_slab_kernel(idx_ref, y_ref, w_ref, pre_ref, pim_ref, sc_ref,
+                     x_ref, xnext, wsc, *, n, tile):
+    g = pl.program_id(0)
+    tix = pl.program_id(1)
+
+    @pl.when((g == 0) & (tix == 0))
+    def _():
+        xnext[...] = jnp.zeros_like(xnext)
+
+    r = xnext.shape[1] // 2
+
+    @pl.when(tix == 0)
+    def _():
+        accr, acci = _sten_apply_rows(w_ref[0], _carry_read(xnext), n)
+        yrow = y_ref[0]
+        wsc[...] = jnp.concatenate(
+            [yrow[:r] - accr, yrow[r:] - acci], axis=0
+        )
+
+    x = _dot_plane(wsc[...], pre_ref[0], pim_ref[0], sc_ref[0])
+    x_ref[0] = x
+    xnext[pl.ds(tix, 1)] = x[None]
+
+
+@functools.partial(jax.jit, static_argnames=("n", "interpret"))
+def _fwd_slab_call(stack: PallasPlaneStack, idx, rows, wrows, t0,
+                   n: int, interpret: bool | None = None):
+    interpret = _resolve_interpret(interpret)
+    Pe, r2, npad = rows.shape
+    nb = stack.scale.shape[2]
+    tile = _budget_tile(npad, stack.p_re.dtype.itemsize)
+    T = npad // tile
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Pe, T),
+        in_specs=[
+            pl.BlockSpec((1, r2, npad), lambda p, t, s: (p, 0, 0)),
+            pl.BlockSpec((1, 2, 9, npad), lambda p, t, s: (p, 0, 0, 0)),
+            pl.BlockSpec((1, npad, tile), lambda p, t, s: (s[p], 0, t)),
+            pl.BlockSpec((1, npad, tile), lambda p, t, s: (s[p], 0, t)),
+            pl.BlockSpec((1, 2, nb, tile), lambda p, t, s: (s[p], 0, 0, t)),
+            pl.BlockSpec((r2, npad), lambda p, t, s: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, r2, npad), lambda p, t, s: (p, 0, 0)),
+            pl.BlockSpec((1, r2, tile), lambda p, t, s: (p, 0, t)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((T, r2, tile), jnp.float32),
+            pltpu.VMEM((r2, npad), jnp.float32),
+        ],
+    )
+    y4, t4 = pl.pallas_call(
+        functools.partial(_fwd_slab_kernel, n=n, tile=tile),
+        out_shape=[
+            jax.ShapeDtypeStruct((Pe, r2, npad), jnp.float32),
+            jax.ShapeDtypeStruct((Pe, r2, npad), jnp.float32),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(idx, rows, wrows, stack.p_re, stack.p_im, stack.scale, t0)
+    return y4, t4
+
+
+@functools.partial(jax.jit, static_argnames=("n", "interpret"))
+def _bwd_slab_call(stack: PallasPlaneStack, idx, yrows, wrows,
+                   n: int, interpret: bool | None = None):
+    interpret = _resolve_interpret(interpret)
+    Pe, r2, npad = yrows.shape
+    nb = stack.scale.shape[2]
+    tile = _budget_tile(npad, stack.p_re.dtype.itemsize)
+    T = npad // tile
+    rev = Pe - 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Pe, T),
+        in_specs=[
+            pl.BlockSpec((1, r2, npad), lambda g, t, s: (rev - g, 0, 0)),
+            pl.BlockSpec((1, 2, 9, npad), lambda g, t, s: (rev - g, 0, 0, 0)),
+            pl.BlockSpec((1, npad, tile), lambda g, t, s: (s[g], 0, t)),
+            pl.BlockSpec((1, npad, tile), lambda g, t, s: (s[g], 0, t)),
+            pl.BlockSpec((1, 2, nb, tile), lambda g, t, s: (s[g], 0, 0, t)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, r2, tile), lambda g, t, s: (rev - g, 0, t)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((T, r2, tile), jnp.float32),
+            pltpu.VMEM((r2, npad), jnp.float32),
+        ],
+    )
+    (x4,) = pl.pallas_call(
+        functools.partial(_bwd_slab_kernel, n=n, tile=tile),
+        out_shape=[jax.ShapeDtypeStruct((Pe, r2, npad), jnp.float32)],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(idx, yrows, wrows, stack.p_re, stack.p_im, stack.scale)
+    return x4
+
+
+def _rows_of(bg: jnp.ndarray, npad: int) -> jnp.ndarray:
+    """(P, mn[, r]) complex -> (P, 2r, npad) f32 stacked [re rows; im rows]."""
+    P, mn = bg.shape[0], bg.shape[1]
+    b2 = bg.reshape(P, mn, -1)
+    rows = jnp.concatenate([jnp.real(b2), jnp.imag(b2)], axis=-1)
+    rows = jnp.moveaxis(rows, -1, 1).astype(jnp.float32)     # (P, 2r, mn)
+    return jnp.pad(rows, [(0, 0), (0, 0), (0, npad - mn)])
+
+
+def _unrows(rows: jnp.ndarray, mn: int, dtype, shape) -> jnp.ndarray:
+    r = rows.shape[1] // 2
+    x = jax.lax.complex(rows[:, :r, :mn], rows[:, r:, :mn]).astype(dtype)
+    return jnp.moveaxis(x, 1, -1).reshape(shape)
+
+
+_SCOPED_VMEM_BUDGET = 8_000_000   # double-buffered pivot tiles; the TPU
+                                  # scoped-vmem stack limit is 16 MB
+
+
+def _budget_tile(npad: int, itemsize: int) -> int:
+    """Output-tile width: largest 128-multiple divisor of ``npad`` whose
+    double-buffered (npad, tile) re+im pivot blocks fit the scoped-VMEM
+    budget (full planes blew the 16 MB stack limit on the real TPU)."""
+    cap = max(128, _SCOPED_VMEM_BUDGET // (4 * npad * itemsize))
+    return _pick_tile(npad, min(512, cap))
+
+
+def fused_vmem_ok(stack: PallasPlaneStack, budget_bytes: int | None = None
+                  ) -> bool:
+    """Whether even the minimum (npad, 128) pivot tiles fit the fused
+    kernels' VMEM working set.  Oversized planes fall back to the per-plane
+    tiled path, which still streams correctly."""
+    budget = _SCOPED_VMEM_BUDGET if budget_bytes is None else budget_bytes
+    per_tile = stack.np_in * 128 * stack.p_re.dtype.itemsize
+    return 4 * per_tile < budget
+
+
+def fwd_scan_fused(view, bg, start: int = 0, t_start=None,
+                   collect_t: bool = False):
+    """Fused forward substitution over planes ``start..l-1`` of one slab —
+    drop-in for ``direct._fwd_scan_3d`` on a :class:`PlaneSlabView`;
+    returns ``(y stack, t stack or None)`` in plane order."""
+    stack = view.stack
+    lsten = view.lsten
+    l, b_ = lsten.shape[0], lsten.shape[2]
+    mn, npad = stack.mn, stack.np_out
+    assert stack.np_in == npad, "fused path expects square padded pivots"
+    dtype = lsten.dtype
+    extra = bg.shape[2:]
+    rows = _rows_of(bg[start:], npad)
+    wrows = _pack_sten_rows(lsten[start:], npad)
+    base = view.base if hasattr(view, "base") else jnp.int32(0)
+    idx = jnp.asarray(base, jnp.int32) + jnp.arange(
+        start, l, dtype=jnp.int32
+    )
+    r2 = rows.shape[1]
+    if t_start is None:
+        t0 = jnp.zeros((r2, npad), jnp.float32)
+    else:
+        t0 = _rows_of(t_start[None], npad)[0]
+    y4, t4 = _fwd_slab_call(stack, idx, rows, wrows, t0, n=b_)
+    shape = (l - start, mn) + extra
+    y = _unrows(y4, mn, dtype, shape)
+    if collect_t:
+        return y, _unrows(t4, mn, dtype, shape)
+    return y, None
+
+
+def bwd_scan_fused(view, y, tail: int = 0):
+    """Fused backward substitution — drop-in for ``direct._bwd_scan_3d`` on
+    a :class:`PlaneSlabView`; ``tail > 0`` computes only the last planes
+    (zeros elsewhere, exact — the recursion starts at the true last plane)."""
+    stack = view.stack
+    usten = view.usten
+    l, b_ = usten.shape[0], usten.shape[2]
+    mn, npad = stack.mn, stack.np_out
+    assert stack.np_in == npad, "fused path expects square padded pivots"
+    dtype = usten.dtype
+    extra = y.shape[2:]
+    full = tail <= 0 or tail >= l
+    start = 0 if full else l - tail
+    rows = _rows_of(y[start:], npad)
+    wrows = _pack_sten_rows(usten[start:], npad)
+    base = view.base if hasattr(view, "base") else jnp.int32(0)
+    # descending flat plane indices: grid position g solves plane l-1-g
+    idx = jnp.asarray(base, jnp.int32) + jnp.arange(
+        l - 1, start - 1, -1, dtype=jnp.int32
+    )
+    x4 = _bwd_slab_call(stack, idx, rows, wrows, n=b_)
+    x = _unrows(x4, mn, dtype, (l - start, mn) + extra)
+    if full:
+        return x
+    out = jnp.zeros((l,) + x.shape[1:], dtype)
+    return out.at[start:].set(x)

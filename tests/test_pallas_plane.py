@@ -163,3 +163,47 @@ def test_sparsifying_3d_pallas():
     got = pc_pl.apply(b)
     ref = pc_full.apply(b)
     assert _relerr(got, ref) < 2e-2   # bf16 pivots vs complex64
+
+
+def test_fused_scan_variants_match_xla(fac3):
+    """The fused whole-slab kernels (one ``pallas_call`` per substitution
+    direction) must reproduce every per-plane-scan entry point the sweeps
+    use: support (start/tail), cached + resume, and multi-RHS."""
+    from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
+        block_thomas_solve_cached_3d,
+        block_thomas_solve_resume_3d,
+        block_thomas_solve_support_3d,
+    )
+
+    fac_bf, fac_i8 = fac3
+    mn = M * N
+    rng = np.random.default_rng(11)
+    for fac, rr in ((fac_bf, 1), (fac_bf, 3), (fac_i8, 2)):
+        stack = pp.build_plane_stack(fac, batched=False)
+        assert pp.fused_vmem_ok(stack)
+        view = pp.PlaneSlabView(
+            stack=stack, lsten=fac.lsten, usten=fac.usten,
+            base=jnp.zeros((), jnp.int32),
+        )
+        shape = (L * mn,) if rr == 1 else (L * mn, rr)
+        b = jnp.asarray(
+            (rng.standard_normal(shape) + 1j * rng.standard_normal(shape))
+            .astype(np.complex64)
+        )
+        bz = jnp.asarray(np.where(
+            (np.arange(L)[:, None] >= 2).repeat(mn, 1).reshape(L * mn, 1)
+            if rr > 1 else
+            (np.arange(L) >= 2).repeat(mn), np.asarray(b), 0.0))
+        ref = block_thomas_solve_support_3d(fac, bz, start=2, tail=3)
+        got = block_thomas_solve_support_3d(view, bz, start=2, tail=3)
+        assert _relerr(got, ref) < 2e-4
+
+        refx, refy, reft = block_thomas_solve_cached_3d(fac, b, 3)
+        gotx, goty, gott = block_thomas_solve_cached_3d(view, b, 3)
+        assert _relerr(gotx, refx) < 2e-4
+        assert _relerr(goty, refy) < 2e-4
+        assert _relerr(gott, reft) < 2e-4
+
+        ref_r = block_thomas_solve_resume_3d(fac, b, refy, reft, 3)
+        got_r = block_thomas_solve_resume_3d(view, b, goty, gott, 3)
+        assert _relerr(got_r, ref_r) < 2e-4
