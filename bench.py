@@ -142,7 +142,8 @@ def measure_apply(h=1.0 / 800.0, dtype_name="complex64", iters=20,
 
 
 def measure_e2e(h=1.0 / 800.0, subs=2, platform=None, pivot="pallas",
-                restart=20, maxiter=12, rtol=1e-6, repeats=3):
+                restart=20, maxiter=12, rtol=1e-6, repeats=3,
+                double_sweep=True):
     """Chain-timed full plasma solve; returns (seconds_per_solve, n_points).
 
     Methodology identical to the round-2 record (benchmarks/tpu_e2e.py
@@ -161,9 +162,10 @@ def measure_e2e(h=1.0 / 800.0, subs=2, platform=None, pivot="pallas",
     t0 = time.time()
     problem = plasma2d.build_problem(
         h=h, n_subdomains=subs, npml=10, dtype=jnp.complex64,
-        double_sweep=True, pivot_dtype=pivot,
+        double_sweep=double_sweep, pivot_dtype=pivot,
     )
-    print(f"[bench] e2e setup ({pivot} pivots) dispatched in "
+    print(f"[bench] e2e setup ({pivot} pivots, subs={subs}, "
+          f"{'double' if double_sweep else 'single'} sweep) dispatched in "
           f"{time.time()-t0:.0f}s", file=sys.stderr)
     X, _ = problem.grid.mesh()
     dtype = problem.op.symbol.dtype
@@ -215,7 +217,7 @@ def measure_e2e(h=1.0 / 800.0, subs=2, platform=None, pivot="pallas",
 
 def measure_e2e_batched(h=1.0 / 800.0, subs=2, platform=None, pivot="pallas",
                         n_dirs=2, restart=20, maxiter=12, rtol=1e-6,
-                        repeats=3):
+                        repeats=3, double_sweep=True):
     """Chain-timed JOINT batched solve of ``n_dirs`` incident directions
     (``gmres_batched`` + ``DoubleSweepPreconditioner.apply_batch``): the
     sweeps stream each pivot plane from HBM once for the whole batch, so
@@ -236,10 +238,10 @@ def measure_e2e_batched(h=1.0 / 800.0, subs=2, platform=None, pivot="pallas",
     t0 = time.time()
     problem = plasma2d.build_problem(
         h=h, n_subdomains=subs, npml=10, dtype=jnp.complex64,
-        double_sweep=True, pivot_dtype=pivot,
+        double_sweep=double_sweep, pivot_dtype=pivot,
     )
-    print(f"[bench] batched e2e setup ({pivot} pivots) dispatched in "
-          f"{time.time()-t0:.0f}s", file=sys.stderr)
+    print(f"[bench] batched e2e setup ({pivot} pivots, subs={subs}) "
+          f"dispatched in {time.time()-t0:.0f}s", file=sys.stderr)
     X, Y = problem.grid.mesh()
     dtype = problem.op.symbol.dtype
 
@@ -367,7 +369,7 @@ def measure_e2e_3d(nn=48, precond="sparsifying", pivot="bf16_pallas", subs=4,
     return dt, problem.grid.size, setup_s
 
 
-def measure_cpu_e2e(h=1.0 / 800.0, subs=2):
+def measure_cpu_e2e(h=1.0 / 800.0, subs=2, double_sweep=True):
     """One warm full solve on the host CPU (complex64, full pivots, same
     GMRES budget as the TPU measurement); returns (seconds, n_points)."""
     _setup_jax("cpu")
@@ -379,7 +381,7 @@ def measure_cpu_e2e(h=1.0 / 800.0, subs=2):
     t0 = time.time()
     problem = plasma2d.build_problem(
         h=h, n_subdomains=subs, npml=10, dtype=jnp.complex64,
-        double_sweep=True, pivot_dtype="full",
+        double_sweep=double_sweep, pivot_dtype="full",
         cache_dir=os.path.join(_REPO, ".artifact_cache"),
     )
     print(f"[bench] cpu e2e setup in {time.time()-t0:.0f}s", file=sys.stderr)
@@ -396,7 +398,7 @@ def measure_cpu_e2e(h=1.0 / 800.0, subs=2):
 
 
 def measure_e2e_iters(h=1.0 / 800.0, subs=2, platform=None, pivot="pallas",
-                      rtol=1e-6):
+                      rtol=1e-6, double_sweep=True):
     """One real solve per incident direction: iteration counts (the
     reference's oracle, ``countnz(resnorm)``)."""
     _setup_jax(platform)
@@ -407,7 +409,7 @@ def measure_e2e_iters(h=1.0 / 800.0, subs=2, platform=None, pivot="pallas",
 
     problem = plasma2d.build_problem(
         h=h, n_subdomains=subs, npml=10, dtype=jnp.complex64,
-        double_sweep=True, pivot_dtype=pivot,
+        double_sweep=double_sweep, pivot_dtype=pivot,
     )
     iters = []
     for direction in [(1.0, 0.0), (0.0, 1.0)]:
@@ -481,16 +483,28 @@ def main():
 
     dt = npts = None
     pivot_used = None
-    # two attempts per pivot mode: the tunnel backend intermittently fails
-    # eager device-array creation during setup (CLAUDE.md quirks); a retry
-    # in the same process typically succeeds
-    for pivot in ("pallas", "pallas", "bf16", "bf16"):
+    config_used = None
+    # config ladder, two attempts each: the tunnel backend intermittently
+    # fails eager device-array creation during setup (CLAUDE.md quirks); a
+    # retry in the same process typically succeeds.  subs=1 single sweep is
+    # the exact-sparsified-solve configuration (no interfaces: the "sweep"
+    # IS the direct Msp solve — half the per-apply pivot bytes of the
+    # double sweep at equal iteration counts; 73.2 vs 113.7 ms measured).
+    configs = [
+        ("pallas", 1, False), ("pallas", 1, False),
+        ("pallas", 2, True), ("pallas", 2, True),
+        ("bf16", 2, True), ("bf16", 2, True),
+    ]
+    for pivot, subs_c, dsw in configs:
         try:
-            dt, npts = measure_e2e(pivot=pivot)
+            dt, npts = measure_e2e(pivot=pivot, subs=subs_c,
+                                   double_sweep=dsw)
             pivot_used = pivot
+            config_used = (subs_c, dsw)
             break
         except Exception as exc:  # noqa: BLE001
-            print(f"[bench] e2e ({pivot}) failed: {exc}", file=sys.stderr)
+            print(f"[bench] e2e ({pivot}, subs={subs_c}) failed: {exc}",
+                  file=sys.stderr)
 
     if dt is None:
         # fall back to the apply-only headline (rounds 1-2 metric)
@@ -525,7 +539,9 @@ def main():
     dual_ms_per_dir = None
     if "--no-dual" not in args:
         try:
-            dt_d, _, n_dirs = measure_e2e_batched(pivot=pivot_used)
+            dt_d, _, n_dirs = measure_e2e_batched(
+                pivot=pivot_used, subs=config_used[0],
+                double_sweep=config_used[1])
             dual_ms_per_dir = dt_d * 1e3 / n_dirs
             print(f"[bench] dual-direction batched solve: {dt_d*1e3:.1f} ms "
                   f"for {n_dirs} directions ({dual_ms_per_dir:.1f} ms/dir, "
@@ -579,6 +595,10 @@ def main():
         "vs_baseline": round(vs_baseline, 3),
         "ms_per_solve": round(dt * 1e3, 1),
         "pivot_path": pivot_used,
+        "sweep_config": (
+            f"subs={config_used[0]} "
+            f"{'double' if config_used[1] else 'single(exact Msp solve)'}"
+        ),
         "apply_Mgpps": round(apply_gpps / 1e6, 3) if apply_gpps else None,
         "ms_per_solve_dual_batched": (
             round(dual_ms_per_dir, 1) if dual_ms_per_dir else None

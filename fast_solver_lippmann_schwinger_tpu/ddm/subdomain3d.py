@@ -476,6 +476,11 @@ def gs_sweep_3d(slabs: SlabSystem3D, b: jnp.ndarray) -> jnp.ndarray:
     if slabs.pivot_layout == "y":
         return _gs_sweep_3d_plain(slabs, b)
     rhs0 = partition_source_3d(slabs, b)   # (S, l1_max, mn[, r])
+    if slabs.n_subs == 1:
+        # no interfaces: exact Msp solve in one plain substitution pair
+        # (see the 2D fast path in ddm/sweeps.py:gs_sweep)
+        u = slab_solve_3d(slabs, _slab_fac(slabs, 0), rhs0[0])[None]
+        return gather_interior_3d(slabs, u)
     dtype = rhs0.dtype
     m, n = slabs.m, slabs.n
     mn = m * n
@@ -532,6 +537,9 @@ def _gs_sweep_3d_plain(slabs: SlabSystem3D, b: jnp.ndarray) -> jnp.ndarray:
     """Sweep variant with plain (uncached) local solves — used by the
     y-blocked pivot layout, whose solves have no z-tail/resume structure."""
     rhs0 = partition_source_3d(slabs, b)   # (S, l1_max, mn[, r])
+    if slabs.n_subs == 1:
+        u = slab_solve_3d(slabs, _slab_fac(slabs, 0), rhs0[0])[None]
+        return gather_interior_3d(slabs, u)
     dtype = rhs0.dtype
     m, n = slabs.m, slabs.n
 

@@ -82,6 +82,17 @@ def gs_sweep(slabs: SlabSystem, b: jnp.ndarray) -> jnp.ndarray:
 
         return gs_sweep_fused(slabs, b)
     rhs0 = partition_source(slabs, b)      # (S, m1_max, n[, r])
+    if slabs.n_subs == 1:
+        # no interfaces: the sweep IS the exact Msp solve — one plain
+        # fwd+bwd substitution (2.0 pivot passes) instead of the cached
+        # down + resumed up structure (~2.2 passes + trace glue).  This is
+        # the single-chip-optimal 2D configuration (73.2 ms at the 801^2
+        # headline vs 113.7 ms for the 2-slab double sweep, RESULTS.md).
+        if slabs.pfac is not None:
+            u = pt.solve_all(slabs.pfac, jnp.arange(1), rhs0)
+        else:
+            u = block_thomas_solve(_fac_at(slabs.fac, 0), rhs0[0])[None]
+        return gather_interior(slabs, u)
     dtype = rhs0.dtype
 
     def down_step(carry, xs):

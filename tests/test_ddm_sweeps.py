@@ -163,3 +163,65 @@ def test_block_thomas_solve_tail_matches_full():
     assert np.allclose(
         np.asarray(block_thomas_solve_tail(fac, b, m + 3)), full
     )
+
+
+def test_single_slab_sweep_is_exact_msp_solve(plasma_problem):
+    """At ``n_subdomains=1`` the GS sweep has no interfaces — it must equal
+    the direct Msp block-Thomas solve exactly (the fast path behind the
+    single-chip-optimal 801^2 bench configuration)."""
+    from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
+        block_thomas_solve,
+        factor_stencil_2d,
+    )
+
+    grid, k, X, Y, nu, op, a_st, ag_st, msp = plasma_problem
+    slabs = build_slab_system(
+        a_st, ag_st, nu, grid.x, grid.y, grid.h, k, 1, npml=NPML
+    )
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(
+        rng.standard_normal(grid.size) + 1j * rng.standard_normal(grid.size)
+    )
+    u_ref = block_thomas_solve(factor_stencil_2d(msp), b)
+    u = gs_sweep(slabs, b)
+    assert float(jnp.linalg.norm(u - u_ref) / jnp.linalg.norm(u_ref)) < 1e-12
+    # multi-RHS rides the same fast path
+    B = jnp.stack([b, 1j * b], axis=1)
+    uB = gs_sweep(slabs, B)
+    assert float(jnp.linalg.norm(uB[:, 0] - u_ref)
+                 / jnp.linalg.norm(u_ref)) < 1e-12
+
+
+def test_single_slab_sweep_3d_is_exact_msp_solve():
+    """3D analog of the single-slab exact-solve fast path."""
+    from fast_solver_lippmann_schwinger_tpu.ddm.subdomain3d import (
+        build_slab_system_3d,
+        gs_sweep_3d,
+    )
+    from fast_solver_lippmann_schwinger_tpu.models import media as media3
+    from fast_solver_lippmann_schwinger_tpu.ops.fastconv import (
+        build_fast_convolution_3d,
+    )
+    from fast_solver_lippmann_schwinger_tpu.sparse.direct import (
+        block_thomas_solve_3d,
+        factor_stencil_3d,
+    )
+
+    NN, K = 13, 6.0
+    h = 1.0 / (NN - 1)
+    x = np.linspace(0.0, 1.0, NN)
+    Z, Y3, X3 = np.meshgrid(x, x, x, indexing="ij")
+    nu = media3.gaussian_bump_3d(X3, Y3, Z)
+    op = build_fast_convolution_3d(x, x, x, h, K, nu, dtype=jnp.complex128)
+    a_st, ag_st = stencils.build_sparse_a_ag_3d(K, op, dtype=jnp.complex128)
+    msp = stencils.build_msp_3d(a_st, ag_st, nu, K)
+    slabs = build_slab_system_3d(
+        a_st, ag_st, nu, x, h, K, n_subs=1, npml=5
+    )
+    rng = np.random.default_rng(5)
+    b = jnp.asarray(
+        rng.standard_normal(NN ** 3) + 1j * rng.standard_normal(NN ** 3)
+    )
+    u_ref = block_thomas_solve_3d(factor_stencil_3d(msp), b)
+    u = gs_sweep_3d(slabs, b)
+    assert float(jnp.linalg.norm(u - u_ref) / jnp.linalg.norm(u_ref)) < 1e-12
