@@ -65,7 +65,22 @@ def _interface_vector(slabs: SlabSystem3D, upper_slot, lower_slot):
 
 def _solve_batched_3d(slabs: SlabSystem3D, rhs, start: int = 0,
                       tail: int = 0):
-    """One solve per slab, all slabs at once; rhs (S, l1_max, mn[, r])."""
+    """One solve per slab, all slabs at once; rhs (S, l1_max, mn[, r]).
+
+    With a Pallas plane stack attached, the slabs solve sequentially
+    through per-slab :class:`PlaneSlabView`s (the fused whole-slab
+    kernels; the placeholder XLA fac holds empty pivots) — these solves
+    are serialized on the pivot HBM stream anyway, so the lost vmap
+    parallelism is free."""
+    if slabs.pfac is not None:
+        def step(_, i):
+            u_i = slab_solve_3d(
+                slabs, _slab_fac(slabs, i), rhs[i], start=start, tail=tail
+            )
+            return None, u_i
+
+        _, u = jax.lax.scan(step, None, jnp.arange(slabs.n_subs))
+        return u
     return jax.vmap(
         lambda f, r: slab_solve_3d(slabs, f, r, start=start, tail=tail)
     )(slabs.fac, rhs)

@@ -129,3 +129,28 @@ def test_polarized3d_apply_batch_matches_rows(setup):
         ref = np.asarray(pc.apply(B[r]))
         err = np.max(np.abs(got[r] - ref)) / np.max(np.abs(ref))
         assert err < 1e-10, err
+
+
+def test_polarized3d_pallas_layout(setup):
+    """The plane-trace block apply also runs on the Pallas plane-stack
+    layout (fused whole-slab solves through per-slab PlaneSlabViews; the
+    raw placeholder fac holds empty pivots and must never be vmapped)."""
+    x, h, nu, op, a_st, slabs, X = setup
+    ag_st = stencils.build_sparse_a_ag_3d(K, op, dtype=jnp.complex128)[1]
+    slabs_p = build_slab_system_3d(
+        a_st, ag_st, nu, x, h, K, n_subs=S, npml=5,
+        pivot_dtype="bf16_pallas",
+    )
+    assert slabs_p.pfac is not None
+    mn = slabs.m * slabs.n
+    g = _random_trace(slabs, 7, factor=2)
+    v = g.reshape(-1, 2, mn)
+    v0 = jnp.concatenate([jnp.zeros((1, mn), g.dtype), v[:, 0]], axis=0)
+    v1 = jnp.concatenate([jnp.zeros((1, mn), g.dtype), v[:, 1]], axis=0)
+    vN = jnp.concatenate([v[:, 0], jnp.zeros((1, mn), g.dtype)], axis=0)
+    vNp = jnp.concatenate([v[:, 1], jnp.zeros((1, mn), g.dtype)], axis=0)
+    ref = polarized3d.block_apply(slabs, v0, v1, vN, vNp)
+    got = polarized3d.block_apply(slabs_p, v0, v1, vN, vNp)
+    for r, gq in zip(ref, got):
+        err = float(jnp.max(jnp.abs(gq - r)) / jnp.max(jnp.abs(r) + 1e-30))
+        assert err < 2e-2   # bf16 pivots vs full-precision reference
